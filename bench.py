@@ -1,0 +1,133 @@
+"""Benchmark: confidential-transfer Groth16 proving throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "confidential_proofs_per_sec", "value": N, "unit": "proofs/s",
+   "vs_baseline": N/100}
+(The baseline north star is 100 proofs/s on a v5p-16 slice; this runs on
+whatever single chip the driver provides.)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PROOFS_PER_SEC = 100.0
+PARAMS_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_params.dat"
+)
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _get_params():
+    from zerochain_tpu.groth16 import serialization as ser
+    from zerochain_tpu.groth16.core import generate_parameters
+    from zerochain_tpu.models.confidential import ConfidentialTransfer
+    from zerochain_tpu.prover_tpu.backend import TpuBackend
+
+    if os.path.exists(PARAMS_CACHE):
+        raw = open(PARAMS_CACHE, "rb").read()
+        dens = ser.densities_for(ConfidentialTransfer())
+        return ser.params_from_bytes(raw, dens, 23)
+
+    t0 = time.time()
+    params = generate_parameters(
+        ConfidentialTransfer(),
+        tau=0x1234567890ABCDEF1234,
+        alpha=0x9876543210FEDCBA,
+        beta=0x1111111122222222,
+        gamma=0x3333333344444444,
+        delta=0x5555555566666666,
+        backend=TpuBackend(),
+    )
+    print(f"# CRS generated in {time.time()-t0:.1f}s", file=sys.stderr)
+    try:
+        open(PARAMS_CACHE, "wb").write(ser.params_to_bytes(params))
+    except Exception:
+        pass
+    return params
+
+
+def _assignments(n):
+    from zerochain_tpu.mirror import jubjub as jj
+    from zerochain_tpu.mirror.field import S
+    from zerochain_tpu.protocol.elgamal import Ciphertext
+    from zerochain_tpu.protocol.keys import EncryptionKey, ProofGenerationKey
+
+    out = []
+    g_epoch = jj.find_group_hash(b"\x02\x00\x00\x00", b"zcgepoch")
+    for i in range(n):
+        seed = f"bench-sender-{i}".encode()
+        pgk = ProofGenerationKey.from_seed(seed)
+        dk = pgk.into_decryption_key()
+        ek_s = EncryptionKey.from_decryption_key(dk)
+        ek_r = EncryptionKey.from_seed(f"bench-recipient-{i}".encode())
+        ct = Ciphertext.encrypt(27, (0xABCDEF + i) % S, ek_s)
+        out.append(
+            dict(
+                amount=10, remaining_balance=16, fee=1, dec_key=dk.fs,
+                randomness=(0x1337C0DE + i) % S, alpha=(41 + i) % S,
+                enc_key_recipient=ek_r.point, enc_balance_left=ct.left,
+                enc_balance_right=ct.right, pgk=pgk.point, g_epoch=g_epoch,
+            )
+        )
+    return out
+
+
+def main():
+    _setup_jax()
+    from zerochain_tpu.groth16.core import prepare_verifying_key, verify_proof
+    from zerochain_tpu.prover_tpu.pipeline import ConfidentialProver
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    params = _get_params()
+    prover = ConfidentialProver(params)
+    assignments = _assignments(batch)
+
+    # warm-up (compiles everything)
+    t0 = time.time()
+    proofs = prover.prove(assignments, rs=[(3 + i, 5 + i) for i in range(batch)])
+    warm = time.time() - t0
+    print(f"# warm-up ({batch} proofs incl. compile): {warm:.1f}s",
+          file=sys.stderr)
+
+    # correctness gate: the first proof must verify (mirror verifier)
+    pvk = prepare_verifying_key(params.vk)
+    pub = prover.public_inputs(assignments[:1])[0]
+    assert verify_proof(pvk, proofs[0], pub), "proof failed verification"
+    bad = list(pub)
+    bad[0] = (bad[0] + 1) % (2**255)
+    assert not verify_proof(pvk, proofs[0], bad), "verifier accepted garbage"
+    print("# proof verified against the Groth16 verifier", file=sys.stderr)
+
+    # timed steady-state run
+    t0 = time.time()
+    prover.prove(assignments, rs=[(7 + i, 9 + i) for i in range(batch)])
+    dt = time.time() - t0
+    pps = batch / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "confidential_proofs_per_sec",
+                "value": round(pps, 4),
+                "unit": "proofs/s",
+                "vs_baseline": round(pps / BASELINE_PROOFS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,15 @@
 """Test config: force JAX onto a virtual 8-device CPU mesh.
 
-Must set flags before jax is imported anywhere; pytest imports conftest
-first, so doing it here is sufficient.
+The ambient environment pins JAX_PLATFORMS=axon (the tunneled TPU); tests
+must run on host CPU — a single remote chip cannot serve many concurrent
+test processes, and sharding tests need 8 virtual devices.  Overriding the
+env var alone is NOT enough (the axon plugin re-registers itself), so we
+also set jax.config after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pathlib
 
+import jax
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: limb-kernel graphs are expensive to compile
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 VECTORS = pathlib.Path(__file__).parent / "vectors"
 

@@ -209,40 +209,68 @@ def select(cond, a, b):
 # ---------------------------------------------------------------------
 
 def _school_mul(a, b, n: int):
-    """Full 2n-limb product, unnormalized (limb values < 2^30)."""
+    """Full 2n-limb product, unnormalized (limb values < 2^30).
+
+    Anti-diagonal sums of the outer product via the skew-reshape trick
+    (one pad + reshape instead of n dynamic-update-slices — keeps the XLA
+    graph tiny, which dominates compile time for curve/NTT kernels)."""
     batch = a.shape[1:]
-    t = jnp.zeros((2 * n, *batch), dtype=jnp.int32)
-    for j in range(n):
-        prod = a * b[j]  # (n, ...)
-        t = t.at[j : j + n].add(prod)
-    return t
+    outer = a[:, None] * b[None, :]  # (n, n, ...)
+    q = jnp.concatenate(
+        [outer, jnp.zeros((n, n, *batch), dtype=jnp.int32)], axis=1
+    )  # (n, 2n, ...)
+    flat = q.reshape(n * 2 * n, *batch)
+    skew = flat[: n * (2 * n - 1)].reshape(n, 2 * n - 1, *batch)
+    t = jnp.sum(skew, axis=0)  # (2n-1, ...)
+    return jnp.concatenate(
+        [t, jnp.zeros((1, *batch), dtype=jnp.int32)], axis=0
+    )
 
 
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product aR·bR -> abR (canonical in, canonical out).
 
-    Shift-accumulator Montgomery reduction: each of the n steps zeroes the
-    low limb (adding m·p with m = t0·p' mod 2^12) and shifts the
-    accumulator down one limb.  All intermediates < 2^31 (see module doc).
-    """
+    Parallel REDC with three schoolbook products (no sequential per-limb
+    carry chain — the whole reduction is carry-scan depth, which maps far
+    better onto the VPU than the reference's word-serial CIOS, fq.rs:915):
+
+        T = a*b;  m = (T mod R) * p' mod R;  res = (T + m*p) / R
+
+    where p' = -p^-1 mod R.  The low n limbs of T + m*p vanish exactly, so
+    the division is a limb shift."""
     n = spec.n
-    t = _school_mul(a, b, n)
-    p_ext = jnp.asarray(
-        np.concatenate([spec.p_limbs, np.zeros(n, dtype=np.int32)]),
-        dtype=jnp.int32,
-    ).reshape((2 * n,) + (1,) * (a.ndim - 1))
+    t = _school_mul(a, b, n)  # (2n, ...), limbs < 2^29
+    t = normalize(t, bound=1 << 29)
 
-    def step(_, t):
-        m = (t[0] * spec.inv) & LIMB_MASK
-        t = t + m * p_ext  # adds m*p at offset 0; t[0] ≡ 0 mod 2^12 after
-        carry = t[0] >> LIMB_BITS
-        t = jnp.concatenate([t[1:], jnp.zeros_like(t[:1])], axis=0)
-        t = t.at[0].add(carry)
-        return t
+    pprime = _pprime_arr(spec, a.ndim)
+    m_full = _school_mul(t[:n], jnp.broadcast_to(pprime, t[:n].shape), n)
+    m = normalize(m_full, bound=1 << 29)[:n]  # (t_low * p') mod R
 
-    t = jax.lax.fori_loop(0, n, step, t, unroll=4)
-    res = normalize(t[:n], bound=1 << 31)
+    p_arr = jnp.broadcast_to(
+        jnp.asarray(spec.p_limbs, jnp.int32).reshape(
+            (n,) + (1,) * (a.ndim - 1)
+        ),
+        m.shape,
+    )
+    mp = _school_mul(m, p_arr, n)  # (2n, ...)
+    u = normalize(t + mp, bound=1 << 30)
+    res = u[n:]  # exact division by R = 2^(12n)
     return cond_sub_p(spec, res)
+
+
+_PPRIME_CACHE: dict = {}
+
+
+def _pprime_arr(spec: FieldSpec, ndim: int):
+    """-p^-1 mod R as limbs (broadcastable)."""
+    key = spec.name
+    if key not in _PPRIME_CACHE:
+        r_limb = 1 << (LIMB_BITS * spec.n)
+        pp = (-pow(spec.p, -1, r_limb)) % r_limb
+        _PPRIME_CACHE[key] = _int_to_limbs(pp, spec.n)
+    return jnp.asarray(_PPRIME_CACHE[key], jnp.int32).reshape(
+        (spec.n,) + (1,) * (ndim - 1)
+    )
 
 
 def mont_sqr(spec: FieldSpec, a):

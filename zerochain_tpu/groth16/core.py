@@ -45,6 +45,15 @@ class MirrorBackend:
             acc = cv.g2_add(acc, cv.g2_mul(p, s))
         return acc
 
+    @staticmethod
+    def fixed_base_g1(exponents):
+        """[g1^e for e in exponents]; zero exponent -> None (infinity)."""
+        return cv.g1_fixed_base_exp(exponents)
+
+    @staticmethod
+    def fixed_base_g2(exponents):
+        return cv.g2_fixed_base_exp(exponents)
+
 
 MIRROR = MirrorBackend()
 
@@ -142,7 +151,7 @@ def generate_parameters(
         cur = cur * tau % R
     # h query exponents: tau^i * z(tau)/delta, i in 0..d-2
     zt_delta = (pow(tau, d, R) - 1) % R * delta_inv % R
-    h = [cv.g1_mul(g1, taupows[i] * zt_delta % R) for i in range(d - 1)]
+    h_exps = [taupows[i] * zt_delta % R for i in range(d - 1)]
 
     lag = dom.intt(taupows, omega)
 
@@ -158,18 +167,26 @@ def generate_parameters(
     v = poly_at_tau(bt)
     w = poly_at_tau(ct)
 
-    a_query = [cv.g1_mul(g1, e) if e else None for e in u]
-    b_g1_query = [cv.g1_mul(g1, e) if e else None for e in v]
-    b_g2_query = [cv.g2_mul(g2, e) if e else None for e in v]
+    ic_exps = [
+        (beta * u[i] + alpha * v[i] + w[i]) % R * gamma_inv % R
+        for i in range(n_in)
+    ]
+    l_exps = [
+        (beta * u[i] + alpha * v[i] + w[i]) % R * delta_inv % R
+        for i in range(n_in, n_vars)
+    ]
 
-    ic = []
-    for i in range(n_in):
-        e = (beta * u[i] + alpha * v[i] + w[i]) % R * gamma_inv % R
-        ic.append(cv.g1_mul(g1, e))
-    l_query = []
-    for i in range(n_in, n_vars):
-        e = (beta * u[i] + alpha * v[i] + w[i]) % R * delta_inv % R
-        l_query.append(cv.g1_mul(g1, e) if e else None)
+    # bulk fixed-base exponentiations (the CRS hot loop) via the backend
+    n_h, n_u, n_v, n_ic = len(h_exps), len(u), len(v), len(ic_exps)
+    all_g1 = backend.fixed_base_g1(h_exps + u + v + ic_exps + l_exps)
+    h = all_g1[:n_h]
+    a_query = all_g1[n_h : n_h + n_u]
+    b_g1_query = all_g1[n_h + n_u : n_h + n_u + n_v]
+    ic = all_g1[n_h + n_u + n_v : n_h + n_u + n_v + n_ic]
+    l_query = all_g1[n_h + n_u + n_v + n_ic :]
+    b_g2_query = backend.fixed_base_g2(v)
+
+    assert all(p is not None for p in ic), "IC must not contain infinity"
 
     vk = VerifyingKey(
         alpha_g1=cv.g1_mul(g1, alpha),

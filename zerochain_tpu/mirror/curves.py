@@ -356,3 +356,156 @@ def g2_from_compressed(b: bytes, check: bool = True):
     if check and g2_mul_raw(p, R) is not None:
         raise DecodeError("not in subgroup")
     return p
+
+
+# ---------------------------------------------------------------------------
+# Jacobian fast paths (host-side bulk exponentiation for CRS generation).
+# Mirrors the wNAF/windowed design intent of the reference's Wnaf context
+# (core/pairing/src/wnaf.rs) in windowed-table form.
+# ---------------------------------------------------------------------------
+
+from .field import fq_add, fq_mul, fq_neg
+
+
+class _JacOps:
+    """Generic Jacobian ops over a base field given (mul, add, neg, zero?)"""
+
+    def __init__(self, mul, add, neg, one):
+        self.mul = mul
+        self.add = add
+        self.neg = neg
+        self.one = one
+
+    def double(self, p):
+        if p is None:
+            return None
+        mul, add, neg = self.mul, self.add, self.neg
+        X, Y, Z = p
+        A = mul(X, X)
+        B = mul(Y, Y)
+        C = mul(B, B)
+        t = add(X, B)
+        t = mul(t, t)
+        D = add(t, neg(add(A, C)))
+        D = add(D, D)
+        E = add(add(A, A), A)
+        F = mul(E, E)
+        X3 = add(F, neg(add(D, D)))
+        c4 = add(C, C)
+        c8 = add(add(c4, c4), add(c4, c4))
+        Y3 = add(mul(E, add(D, neg(X3))), neg(c8))
+        Z3 = add(mul(Y, Z), mul(Y, Z))
+        return (X3, Y3, Z3)
+
+    def add_mixed(self, p, q_affine):
+        """p Jacobian (or None), q affine (x, y)."""
+        if q_affine is None:
+            return p
+        if p is None:
+            return (q_affine[0], q_affine[1], self.one)
+        mul, add, neg = self.mul, self.add, self.neg
+        X1, Y1, Z1 = p
+        x2, y2 = q_affine
+        Z1Z1 = mul(Z1, Z1)
+        U2 = mul(x2, Z1Z1)
+        S2 = mul(mul(y2, Z1), Z1Z1)
+        H = add(U2, neg(X1))
+        r = add(S2, neg(Y1))
+        if H == self._zero_like(X1):
+            if r == self._zero_like(X1):
+                return self.double(p)
+            return None
+        HH = mul(H, H)
+        I = add(add(HH, HH), add(HH, HH))
+        J = mul(H, I)
+        r2 = add(r, r)
+        V = mul(X1, I)
+        X3 = add(add(mul(r2, r2), neg(J)), neg(add(V, V)))
+        Y1J = mul(Y1, J)
+        Y3 = add(mul(r2, add(V, neg(X3))), neg(add(Y1J, Y1J)))
+        t = add(Z1, H)
+        Z3 = add(mul(t, t), neg(add(Z1Z1, HH)))
+        return (X3, Y3, Z3)
+
+    @staticmethod
+    def _zero_like(x):
+        return 0 if isinstance(x, int) else (0, 0)
+
+
+_G1_JAC = _JacOps(fq_mul, fq_add, fq_neg, 1)
+_G2_JAC = _JacOps(fq2_mul, fq2_add, fq2_neg, FQ2_ONE)
+
+
+def _jac_to_affine_g1(p):
+    if p is None or p[2] == 0:
+        return None
+    zi = fq_inv(p[2])
+    zi2 = zi * zi % Q
+    return (p[0] * zi2 % Q, p[1] * zi2 % Q * zi % Q)
+
+
+def _jac_to_affine_g2(p):
+    if p is None or p[2] == FQ2_ZERO:
+        return None
+    zi = fq2_inv(p[2])
+    zi2 = fq2_sqr(zi)
+    return (fq2_mul(p[0], zi2), fq2_mul(fq2_mul(p[1], zi2), zi))
+
+
+class FixedBaseExp:
+    """Windowed fixed-base exponentiation (8-bit windows, Jacobian)."""
+
+    def __init__(self, base_affine, jac, to_affine, c=8, n_bits=256):
+        self.jac = jac
+        self.to_affine = to_affine
+        self.c = c
+        self.n_windows = -(-n_bits // c)
+        # table[w][k] = k * 2^{cw} * base (affine)
+        self.table = []
+        cur = base_affine
+        for _ in range(self.n_windows):
+            row = [None]
+            acc = None
+            for _ in range((1 << c) - 1):
+                acc = jac.add_mixed(acc, cur)
+                row.append(self.to_affine(acc))
+            self.table.append(row)
+            # cur = 2^c * cur
+            j = (cur[0], cur[1], jac.one)
+            for _ in range(c):
+                j = jac.double(j)
+            cur = self.to_affine(j)
+
+    def exp(self, e: int):
+        acc = None
+        w = 0
+        while e:
+            k = e & ((1 << self.c) - 1)
+            if k:
+                acc = self.jac.add_mixed(acc, self.table[w][k])
+            e >>= self.c
+            w += 1
+        return self.to_affine(acc)
+
+    def exp_many(self, exps):
+        return [self.exp(e) for e in exps]
+
+
+_FIXED_EXP_CACHE: dict = {}
+
+
+def g1_fixed_base_exp(exponents):
+    """[g1^e] with a cached 8-bit window table (fast host path)."""
+    if "g1" not in _FIXED_EXP_CACHE:
+        _FIXED_EXP_CACHE["g1"] = FixedBaseExp(
+            G1_GEN, _G1_JAC, _jac_to_affine_g1
+        )
+    return _FIXED_EXP_CACHE["g1"].exp_many(exponents)
+
+
+def g2_fixed_base_exp(exponents):
+    if "g2" not in _FIXED_EXP_CACHE:
+        _FIXED_EXP_CACHE["g2"] = FixedBaseExp(
+            G2_GEN, _G2_JAC, _jac_to_affine_g2
+        )
+    return _FIXED_EXP_CACHE["g2"].exp_many(exponents)

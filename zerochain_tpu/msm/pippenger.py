@@ -1,0 +1,310 @@
+"""Pippenger MSM on TPU: sort-by-bucket + segmented-scan accumulation.
+
+The reference's multiexp (external bellman fork, SURVEY.md §2.3) fans
+bucket accumulation across CPU threads with scalar adds; scatter-style
+bucket accumulation does not map to TPU vector units, so each window here:
+
+  1. extracts c-bit digits from the scalar bits,
+  2. sorts point indices by digit (jnp.argsort),
+  3. reduces runs of equal digits with a segmented associative_scan whose
+     combine is the branch-free Jacobian add (~2N adds/window),
+  4. scatters the per-segment sums into the 2^c bucket table (tiny),
+  5. folds buckets with the running-sum trick (one lax.scan),
+
+and windows combine with c doublings + an add each.  The per-window work is
+itself a lax.scan so the graph stays compact.  No data-dependent control
+flow anywhere.
+
+`FixedBaseMsm` covers the CRS-generation pattern (one base, many scalars)
+with a precomputed (n_windows, 2^c) table + gather + log-depth tree add.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ec import weierstrass as W
+from ..ec.fields import FqOps, Fq2Ops
+from ..ff import limbs as L
+
+FR = L.FR
+WINDOW_C = 8
+
+
+# -------------------------------------------------------- pytree helpers
+def tmap(fn, pt):
+    """Map fn over the leaf arrays of a Jacobian/affine point tuple."""
+    return tuple(
+        tuple(fn(cc) for cc in comp) if isinstance(comp, tuple) else fn(comp)
+        for comp in pt
+    )
+
+
+def scalars_to_bits(scalars: list[int], n_bits: int = 255) -> jnp.ndarray:
+    """Host ints -> (n_bits, N) LE bit array."""
+    arr = np.zeros((n_bits, len(scalars)), dtype=np.int32)
+    for j, s in enumerate(scalars):
+        for i in range(n_bits):
+            arr[i, j] = (s >> i) & 1
+    return jnp.asarray(arr)
+
+
+def limbs_to_bits(limbs: jnp.ndarray, n_bits: int = 255) -> jnp.ndarray:
+    """(n_limbs, ...) canonical 12-bit limb array -> (n_bits, ...) LE bits."""
+    n_limbs = limbs.shape[0]
+    shifts = jnp.arange(L.LIMB_BITS, dtype=jnp.int32)
+    expanded = (
+        limbs[:, None] >> shifts.reshape(1, -1, *([1] * (limbs.ndim - 1)))
+    ) & 1
+    bits = expanded.reshape(n_limbs * L.LIMB_BITS, *limbs.shape[1:])
+    return bits[:n_bits]
+
+
+def digits_from_bits(bits: jnp.ndarray, c: int, n_windows: int) -> jnp.ndarray:
+    """(n_bits, N) bits -> (n_windows, N) c-bit digits (LE windows)."""
+    n_bits = n_windows * c
+    pad = n_bits - bits.shape[0]
+    if pad > 0:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((pad, *bits.shape[1:]), bits.dtype)], axis=0
+        )
+    w = bits[:n_bits].reshape(n_windows, c, *bits.shape[1:])
+    weights = (1 << jnp.arange(c, dtype=jnp.int32)).reshape(
+        1, c, *([1] * (bits.ndim - 1))
+    )
+    return jnp.sum(w * weights, axis=1)
+
+
+class Msm:
+    """Variable-base MSM over one Weierstrass group (G1 or G2)."""
+
+    def __init__(self, field, c: int = WINDOW_C, n_bits: int = 255):
+        self.F = field
+        self.c = c
+        self.n_bits = n_bits
+        self.n_windows = -(-n_bits // c)
+        self._jit = jax.jit(self._impl)
+
+    def _window_total(self, points_jac, keys):
+        """Bucket-accumulate one window; returns a single Jacobian point."""
+        F = self.F
+        order = jnp.argsort(keys)
+        keys_s = jnp.take(keys, order)
+        pts_s = tmap(lambda a: jnp.take(a, order, axis=-1), points_jac)
+
+        # segmented prefix-sum: flags mark segment starts
+        starts = jnp.concatenate(
+            [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]
+        )
+
+        def combine(a, b):
+            pa, fa = a
+            pb, fb = b
+            merged = W.add(F, pa, pb)
+            out = W.select(F, fb, pb, merged)
+            return (out, jnp.logical_or(fa, fb))
+
+        prefix, _ = jax.lax.associative_scan(
+            combine, (pts_s, starts), axis=-1
+        )
+        ends = jnp.concatenate([keys_s[1:] != keys_s[:-1], jnp.ones((1,), bool)])
+
+        # scatter segment sums into 2^c buckets (masked -> dummy slot)
+        nb = 1 << self.c
+        idx = jnp.where(ends, keys_s, nb)
+
+        def scatter(dst, src):
+            padded = jnp.concatenate(
+                [dst, jnp.zeros((*dst.shape[:-1], 1), dst.dtype)], axis=-1
+            )
+            return padded.at[..., idx].set(src)[..., :nb]
+
+        buckets = tuple(
+            tuple(scatter(d, s) for d, s in zip(dc, sc))
+            if isinstance(dc, tuple) else scatter(dc, sc)
+            for dc, sc in zip(W.identity(F, (nb,)), prefix)
+        )
+
+        # running-sum fold over buckets nb-1 .. 1
+        def step(carry, i):
+            running, total = carry
+            b = tmap(lambda a: a[..., i], buckets)
+            running = W.add(F, running, b)
+            total = W.add(F, total, running)
+            return (running, total), None
+
+        idxs = jnp.arange(nb - 1, 0, -1)
+        init = (W.identity(F, ()), W.identity(F, ()))
+        (_, total), _ = jax.lax.scan(step, init, idxs)
+        return total
+
+    def _impl(self, points_jac, bits):
+        F = self.F
+        digits = digits_from_bits(bits, self.c, self.n_windows)
+
+        def body(_, keys):
+            return None, self._window_total(points_jac, keys)
+
+        _, totals = jax.lax.scan(body, None, digits)  # leaves: (nw, ...)
+
+        # combine windows MSB-first: res = 2^c * res + T_w (scan, compact)
+        def comb(res, tw):
+            for _ in range(self.c):
+                res = W.double(F, res)
+            return W.add(F, res, tw), None
+
+        init = tmap(lambda a: a[self.n_windows - 1], totals)
+        if self.n_windows == 1:
+            return init
+        rest = tmap(lambda a: a[self.n_windows - 2 :: -1], totals)
+        res, _ = jax.lax.scan(comb, init, rest)
+        return res
+
+    def __call__(self, points_jac, bits):
+        """points_jac: Jacobian arrays batch (N,); bits: (n_bits, N) ->
+        single Jacobian point."""
+        return self._jit(points_jac, bits)
+
+
+class FixedBaseMsm:
+    """Same-base MSM g^{e_i}: windowed table + gather + tree reduction."""
+
+    def __init__(self, field, base_affine, c: int = WINDOW_C,
+                 n_bits: int = 255, grp=None):
+        self.F = field
+        self.c = c
+        self.n_bits = n_bits
+        self.n_windows = -(-n_bits // c)
+        if grp is None:
+            from ..ec import g1 as _g1, g2 as _g2
+
+            grp = _g1 if field is FqOps else _g2
+        self.grp = grp
+        self.table = self._build_table(base_affine)  # batch (nw, 2^c)
+        self._jit = jax.jit(self._impl)
+
+    def _build_table(self, base_affine):
+        F = self.F
+        nw, nb, c = self.n_windows, 1 << self.c, self.c
+        single = self.grp.from_affine_host([base_affine])  # batch (1,)
+
+        @jax.jit
+        def build(single):
+            # window bases B_w = 2^{cw} * base via a doubling scan
+            def dbl_chain(cur, _):
+                nxt = cur
+                for _ in range(c):
+                    nxt = W.double(F, nxt)
+                return nxt, cur
+
+            _, snaps = jax.lax.scan(dbl_chain, single, None, length=nw)
+            # snaps leaves: (nw, limbs, 1) -> batch (nw,)
+            bw = tmap(lambda a: jnp.moveaxis(a[..., 0], 0, -1), snaps)
+
+            # rows k*B_w for k = 0..nb-1 via an addition scan
+            def add_row(acc, _):
+                nxt = W.add(F, acc, bw)
+                return nxt, acc
+
+            _, rows = jax.lax.scan(
+                add_row, W.identity(F, (nw,)), None, length=nb
+            )
+            # rows leaves: (nb, limbs, nw) -> batch (nw, nb)
+            return tmap(lambda a: jnp.moveaxis(a, 0, -1), rows)
+
+        return build(single)
+
+    def __call__(self, bits):
+        """bits: (n_bits, N) -> Jacobian arrays batch (N,)."""
+        return self._jit(bits)
+
+    def _impl(self, bits):
+        F = self.F
+        digits = digits_from_bits(bits, self.c, self.n_windows)  # (nw, N)
+        nb = 1 << self.c
+        flat_idx = digits + (jnp.arange(self.n_windows) * nb)[:, None]
+
+        def gather(comp):
+            flat = comp.reshape(*comp.shape[:-2], self.n_windows * nb)
+            return jnp.take(flat, flat_idx, axis=-1)  # (limbs, nw, N)
+
+        pts = tmap(gather, self.table)
+
+        # tree-reduce over the window axis (-2)
+        n = self.n_windows
+        while n > 1:
+            half = n // 2
+            a = tmap(lambda x: x[..., 0:half, :], pts)
+            b = tmap(lambda x: x[..., half : 2 * half, :], pts)
+            s = W.add(F, a, b)
+            if n % 2:
+                last = tmap(lambda x: x[..., n - 1 : n, :], pts)
+                s = jax.tree.map(
+                    lambda x, y: jnp.concatenate([x, y], axis=-2), s, last
+                )
+            pts = s
+            n = (n + 1) // 2
+        return tmap(lambda x: x[..., 0, :], pts)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _naive_msm_jit(field):
+    return jax.jit(lambda pts, bits: _naive_msm_impl(field, pts, bits))
+
+
+def naive_msm(field, points_jac, bits):
+    """Per-point scalar mul + tree sum — for small N (verifier MSM)."""
+    return _naive_msm_jit(field)(points_jac, bits)
+
+
+def _naive_msm_impl(field, points_jac, bits):
+    F = field
+    muls = W.scalar_mul_bits(F, (points_jac[0], points_jac[1]), bits)
+    p = muls
+    n = bits.shape[-1]
+    while n > 1:
+        half = n // 2
+        a = tmap(lambda x: x[..., 0:half], p)
+        b = tmap(lambda x: x[..., half : 2 * half], p)
+        s = W.add(F, a, b)
+        if n % 2:
+            last = tmap(lambda x: x[..., n - 1 : n], p)
+            s = jax.tree.map(
+                lambda x, y: jnp.concatenate([x, y], axis=-1), s, last
+            )
+        p = s
+        n = (n + 1) // 2
+    return tmap(lambda x: x[..., 0], p)
+
+
+# ---------------------------------------------------------------- host API
+def _msm_host(grp, field, points, scalars):
+    """Host-level MSM: mirror affine points + int scalars -> affine point."""
+    pairs = [(p, s) for p, s in zip(points, scalars) if p is not None and s]
+    if not pairs:
+        return None
+    pts, scs = zip(*pairs)
+    jac = grp.from_affine_host(list(pts))
+    bits = scalars_to_bits(list(scs), 255)
+    if len(pts) < 64:
+        res = naive_msm(field, jac, bits)
+    else:
+        res = Msm(field)(jac, bits)
+    return grp.to_affine_host(tmap(lambda a: a[..., None], res))[0]
+
+
+def msm_g1(points, scalars):
+    from ..ec import g1 as grp
+
+    return _msm_host(grp, FqOps, points, scalars)
+
+
+def msm_g2(points, scalars):
+    from ..ec import g2 as grp
+
+    return _msm_host(grp, Fq2Ops, points, scalars)
