@@ -13,8 +13,12 @@ BLS12-381 + lifted-ElGamal on Jubjub), designed TPU-first:
 - ``r1cs``     — constraint system + circuit gadget library
 - ``models``   — the circuits (ConfidentialTransfer, AnonymousTransfer)
 - ``groth16``  — setup / prover / verifier, byte-compatible serialization
-- ``protocol`` — keys, ElGamal, RedDSA, epochs, on-chain state machines
-- ``parallel`` — multi-chip sharding (mesh MSM/NTT, batched proving)
+- ``prover_tpu`` — compiled batched witness synthesis + proving pipeline
+- ``protocol`` — keys, ElGamal, RedDSA (single and multi-party), epochs
+- ``runtime``  — on-chain state machines (zk-system, balances, assets)
+- ``wallet``   — HD derivation, encrypted keystore, SS58 addresses
+- ``tx``       — proof drivers and signed-extrinsic builders
+- ``dist``     — multi-chip sharding (mesh MSM, distributed NTT)
 
 Capability parity target: /root/reference (Zerochain). Reference citations in
 docstrings are of the form ``file:line`` relative to that tree.

@@ -29,21 +29,11 @@ class MirrorBackend:
 
     @staticmethod
     def msm_g1(points, scalars):
-        acc = None
-        for p, s in zip(points, scalars):
-            if p is None or s == 0:
-                continue
-            acc = cv.g1_add(acc, cv.g1_mul(p, s))
-        return acc
+        return cv.g1_msm_fast(points, scalars)
 
     @staticmethod
     def msm_g2(points, scalars):
-        acc = None
-        for p, s in zip(points, scalars):
-            if p is None or s == 0:
-                continue
-            acc = cv.g2_add(acc, cv.g2_mul(p, s))
-        return acc
+        return cv.g2_msm_fast(points, scalars)
 
     @staticmethod
     def fixed_base_g1(exponents):
@@ -53,6 +43,11 @@ class MirrorBackend:
     @staticmethod
     def fixed_base_g2(exponents):
         return cv.g2_fixed_base_exp(exponents)
+
+    @staticmethod
+    def compute_h(cs):
+        """Quotient-poly scalar list (host oracle path)."""
+        return compute_h_scalars(cs)
 
 
 MIRROR = MirrorBackend()
@@ -251,7 +246,7 @@ def compute_h_scalars(cs: ConstraintSystem):
 def create_proof(circuit, params: Parameters, r: int, s: int,
                  backend=MIRROR) -> Proof:
     cs, inputs, aux = synthesize_witness(circuit)
-    h_scalars = compute_h_scalars(cs)
+    h_scalars = backend.compute_h(cs)
 
     full_assignment = inputs + aux
     vk = params.vk

@@ -190,7 +190,7 @@ def params_to_bytes(params: Parameters) -> bytes:
     return out
 
 
-def params_from_bytes(b: bytes, densities, num_inputs: int,
+def params_from_bytes(b: bytes, densities, num_inputs: int | None = None,
                       check: bool = False) -> Parameters:
     """Reconstruct Parameters; densities = (a_density, b_density) boolean
     lists over all variables (inputs then aux) saying which entries were
@@ -224,13 +224,13 @@ def params_from_bytes(b: bytes, densities, num_inputs: int,
             out.append(next(it) if keep else None)
         return out
 
-    # l is aux-length and bellman keeps zeros?  bellman writes l unfiltered.
+    # l is aux-length and unfiltered (bellman writes l as-is)
     return Parameters(
         vk=vk, h=h, l=l,
         a=expand(a_f, a_density),
         b_g1=expand(b1_f, b_density),
         b_g2=expand(b2_f, b_density),
-        num_inputs=num_inputs,
+        num_inputs=len(vk.ic) if num_inputs is None else num_inputs,
     )
 
 

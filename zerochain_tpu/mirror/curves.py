@@ -372,14 +372,14 @@ class _JacOps:
 
     def __init__(self, mul, add, neg, one):
         self.mul = mul
-        self.add = add
+        self.add_f = add
         self.neg = neg
         self.one = one
 
     def double(self, p):
         if p is None:
             return None
-        mul, add, neg = self.mul, self.add, self.neg
+        mul, add, neg = self.mul, self.add_f, self.neg
         X, Y, Z = p
         A = mul(X, X)
         B = mul(Y, Y)
@@ -403,7 +403,7 @@ class _JacOps:
             return p
         if p is None:
             return (q_affine[0], q_affine[1], self.one)
-        mul, add, neg = self.mul, self.add, self.neg
+        mul, add, neg = self.mul, self.add_f, self.neg
         X1, Y1, Z1 = p
         x2, y2 = q_affine
         Z1Z1 = mul(Z1, Z1)
@@ -425,6 +425,39 @@ class _JacOps:
         Y3 = add(mul(r2, add(V, neg(X3))), neg(add(Y1J, Y1J)))
         t = add(Z1, H)
         Z3 = add(mul(t, t), neg(add(Z1Z1, HH)))
+        return (X3, Y3, Z3)
+
+    def add(self, p, q):
+        """Full Jacobian + Jacobian addition."""
+        if p is None:
+            return q
+        if q is None:
+            return p
+        mul, add, neg = self.mul, self.add_f, self.neg
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        Z1Z1 = mul(Z1, Z1)
+        Z2Z2 = mul(Z2, Z2)
+        U1 = mul(X1, Z2Z2)
+        U2 = mul(X2, Z1Z1)
+        S1 = mul(mul(Y1, Z2), Z2Z2)
+        S2 = mul(mul(Y2, Z1), Z1Z1)
+        H = add(U2, neg(U1))
+        r = add(S2, neg(S1))
+        if H == self._zero_like(X1):
+            if r == self._zero_like(X1):
+                return self.double(p)
+            return None
+        HH = mul(H, H)
+        I = add(add(HH, HH), add(HH, HH))
+        J = mul(H, I)
+        r2 = add(r, r)
+        V = mul(U1, I)
+        X3 = add(add(mul(r2, r2), neg(J)), neg(add(V, V)))
+        S1J = mul(S1, J)
+        Y3 = add(mul(r2, add(V, neg(X3))), neg(add(S1J, S1J)))
+        t = add(Z1, Z2)
+        Z3 = mul(add(mul(t, t), neg(add(Z1Z1, Z2Z2))), H)
         return (X3, Y3, Z3)
 
     @staticmethod
@@ -509,3 +542,41 @@ def g2_fixed_base_exp(exponents):
             G2_GEN, _G2_JAC, _jac_to_affine_g2
         )
     return _FIXED_EXP_CACHE["g2"].exp_many(exponents)
+
+
+def _pippenger(jac, to_affine, points, scalars, c=8, n_bits=255):
+    """Host windowed-bucket MSM (Jacobian); points affine, ints scalars."""
+    pairs = [(p, s) for p, s in zip(points, scalars) if p is not None and s]
+    if not pairs:
+        return None
+    n_windows = -(-n_bits // c)
+    mask = (1 << c) - 1
+    result = None
+    for w in range(n_windows - 1, -1, -1):
+        if result is not None:
+            for _ in range(c):
+                result = jac.double(result) if result else None
+        buckets = [None] * (1 << c)
+        shift = w * c
+        for p, s in pairs:
+            k = (s >> shift) & mask
+            if k:
+                buckets[k] = jac.add_mixed(buckets[k], p)
+        running = None
+        total = None
+        for k in range(mask, 0, -1):
+            if buckets[k] is not None:
+                running = jac.add(running, buckets[k])
+            if running is not None:
+                total = jac.add(total, running)
+        result = jac.add(result, total)
+    return to_affine(result)
+
+
+def g1_msm_fast(points, scalars):
+    """Pippenger over G1 (the host-side bellman-multiexp equivalent)."""
+    return _pippenger(_G1_JAC, _jac_to_affine_g1, points, scalars)
+
+
+def g2_msm_fast(points, scalars):
+    return _pippenger(_G2_JAC, _jac_to_affine_g2, points, scalars)

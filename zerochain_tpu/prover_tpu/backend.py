@@ -46,3 +46,29 @@ class TpuBackend:
             res = fb(bits)
             out.extend(grp.to_affine_host(res)[: len(part)])
         return out
+
+    @staticmethod
+    def compute_h(cs):
+        """Quotient polynomial via the device NTT plan (generic circuits)."""
+        import jax.numpy as jnp
+
+        from ..ff import limbs as L
+        from ..groth16 import domain as dom
+        from ..ntt import plan_for
+
+        FR = L.FR
+        m = cs.num_constraints
+        d = dom.domain_size(m)
+        plan = plan_for(d)
+
+        def vals(which):
+            evals = [cs.eval_lc(c[which]) for c in cs.constraints]
+            return L.to_limbs(FR, evals + [0] * (d - m), mont=True)
+
+        a_c = plan.coset_ntt(plan.intt(vals(0)))
+        b_c = plan.coset_ntt(plan.intt(vals(1)))
+        c_c = plan.coset_ntt(plan.intt(vals(2)))
+        q = L.sub(FR, L.mont_mul(FR, a_c, b_c), c_c)
+        q = plan.divide_by_z_on_coset(q)
+        h = plan.icoset_ntt(q)
+        return L.from_limbs(FR, h[:, : d - 1], mont=True)

@@ -1,0 +1,103 @@
+"""Keystore crypto primitives (parity-crypto structure).
+
+KDF = PBKDF2-HMAC-SHA256 (dk 32 B, split 16/16), cipher = AES-128-CTR,
+MAC = keccak256(derived_right || ciphertext) — the same construction the
+reference's keyfile uses via parity's `crypto` crate
+(zface/src/wallet/keyfile.rs:108-157).  Keccak-f[1600] is implemented here
+because hashlib only ships the NIST-padded SHA-3 variant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+# ---------------------------------------------------------------- keccak
+_ROUND_CONSTANTS = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_ROT = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+_MASK = (1 << 64) - 1
+
+
+def _rol(v, n):
+    return ((v << n) | (v >> (64 - n))) & _MASK
+
+
+def _keccak_f(state):
+    for rc in _ROUND_CONSTANTS:
+        # theta
+        c = [
+            state[x][0] ^ state[x][1] ^ state[x][2] ^ state[x][3] ^ state[x][4]
+            for x in range(5)
+        ]
+        d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
+        for x in range(5):
+            for y in range(5):
+                state[x][y] ^= d[x]
+        # rho + pi
+        b = [[0] * 5 for _ in range(5)]
+        for x in range(5):
+            for y in range(5):
+                b[y][(2 * x + 3 * y) % 5] = _rol(state[x][y], _ROT[x][y])
+        # chi
+        for x in range(5):
+            for y in range(5):
+                state[x][y] = b[x][y] ^ (
+                    (~b[(x + 1) % 5][y]) & b[(x + 2) % 5][y] & _MASK
+                )
+        # iota
+        state[0][0] ^= rc
+    return state
+
+
+def keccak256(data: bytes) -> bytes:
+    rate = 136  # 1088-bit rate for 256-bit output
+    state = [[0] * 5 for _ in range(5)]
+    # pad10*1 with 0x01 domain (keccak, not SHA-3's 0x06)
+    padded = bytearray(data)
+    pad_len = rate - (len(padded) % rate)
+    padded += b"\x01" + b"\x00" * (pad_len - 2) + b"\x80" if pad_len >= 2 else b"\x81"
+    for off in range(0, len(padded), rate):
+        block = padded[off : off + rate]
+        for i in range(rate // 8):
+            lane = int.from_bytes(block[i * 8 : (i + 1) * 8], "little")
+            x, y = i % 5, i // 5
+            state[x][y] ^= lane
+        _keccak_f(state)
+    out = b""
+    for i in range(4):
+        x, y = i % 5, i // 5
+        out += state[x][y].to_bytes(8, "little")
+    return out
+
+
+# ------------------------------------------------------------------- kdf
+def derive_key_iterations(password: bytes, salt: bytes, iterations: int):
+    """-> (derived_left 16B, derived_right 16B)"""
+    dk = hashlib.pbkdf2_hmac("sha256", password, salt, iterations, 32)
+    return dk[:16], dk[16:]
+
+
+def derive_mac(derived_right: bytes, ciphertext: bytes) -> bytes:
+    return keccak256(derived_right + ciphertext)
+
+
+# ---------------------------------------------------------------- cipher
+def aes_128_ctr(key: bytes, iv: bytes, data: bytes) -> bytes:
+    c = Cipher(algorithms.AES(key), modes.CTR(iv)).encryptor()
+    return c.update(data) + c.finalize()
