@@ -21,6 +21,16 @@ PARAMS_CACHE = os.path.join(
 
 
 def _setup_jax():
+    import resource
+
+    try:  # XLA recurses deeply on the big graphs; default stack segfaults
+        resource.setrlimit(
+            resource.RLIMIT_STACK,
+            (resource.RLIM_INFINITY, resource.RLIM_INFINITY),
+        )
+    except (ValueError, OSError):
+        pass
+
     import jax
 
     jax.config.update(
@@ -30,33 +40,21 @@ def _setup_jax():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def _get_params():
-    from zerochain_tpu.groth16 import serialization as ser
-    from zerochain_tpu.groth16.core import generate_parameters
-    from zerochain_tpu.models.confidential import ConfidentialTransfer
-    from zerochain_tpu.prover_tpu.backend import TpuBackend
-
-    if os.path.exists(PARAMS_CACHE):
-        raw = open(PARAMS_CACHE, "rb").read()
-        dens = ser.densities_for(ConfidentialTransfer())
-        return ser.params_from_bytes(raw, dens, 23)
+def _get_prover():
+    """Device-resident CRS + prover (no host point round trips)."""
+    from zerochain_tpu.prover_tpu.pipeline import ConfidentialProver
 
     t0 = time.time()
-    params = generate_parameters(
-        ConfidentialTransfer(),
+    prover = ConfidentialProver.from_toxic_waste(
         tau=0x1234567890ABCDEF1234,
         alpha=0x9876543210FEDCBA,
         beta=0x1111111122222222,
         gamma=0x3333333344444444,
         delta=0x5555555566666666,
-        backend=TpuBackend(),
     )
-    print(f"# CRS generated in {time.time()-t0:.1f}s", file=sys.stderr)
-    try:
-        open(PARAMS_CACHE, "wb").write(ser.params_to_bytes(params))
-    except Exception:
-        pass
-    return params
+    print(f"# CRS generated on device in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    return prover
 
 
 def _assignments(n):
@@ -88,11 +86,9 @@ def _assignments(n):
 def main():
     _setup_jax()
     from zerochain_tpu.groth16.core import prepare_verifying_key, verify_proof
-    from zerochain_tpu.prover_tpu.pipeline import ConfidentialProver
 
     batch = int(os.environ.get("BENCH_BATCH", "4"))
-    params = _get_params()
-    prover = ConfidentialProver(params)
+    prover = _get_prover()
     assignments = _assignments(batch)
 
     # warm-up (compiles everything)
@@ -103,7 +99,7 @@ def main():
           file=sys.stderr)
 
     # correctness gate: the first proof must verify (mirror verifier)
-    pvk = prepare_verifying_key(params.vk)
+    pvk = prepare_verifying_key(prover.vk)
     pub = prover.public_inputs(assignments[:1])[0]
     assert verify_proof(pvk, proofs[0], pub), "proof failed verification"
     bad = list(pub)

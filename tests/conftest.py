@@ -17,6 +17,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import pathlib
+import resource
+
+# XLA's CPU compiler recurses deeply on the big witness/MSM graphs; the
+# default 8 MB stack segfaults LLVM worker threads spawned later.
+try:
+    resource.setrlimit(
+        resource.RLIMIT_STACK,
+        (resource.RLIM_INFINITY, resource.RLIM_INFINITY),
+    )
+except (ValueError, OSError):
+    pass
 
 import jax
 import pytest

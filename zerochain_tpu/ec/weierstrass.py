@@ -192,3 +192,21 @@ def scalar_mul_bits(F, base_affine, bits, base_inf=None):
     init = (identity(F, batch), cur0)
     (acc, _), _ = jax.lax.scan(step, init, bits)
     return acc
+
+
+def scalar_mul_bits_jac(F, base_jac, bits):
+    """Batched double-and-add from a JACOBIAN base point batch."""
+    import jax
+
+    batch = F.batch_shape(base_jac[0])
+
+    def step(carry, bit):
+        acc, cur = carry
+        cand = add(F, acc, cur)
+        acc = select(F, bit.astype(bool), cand, acc)
+        cur = double(F, cur)
+        return (acc, cur), None
+
+    init = (identity(F, batch), base_jac)
+    (acc, _), _ = jax.lax.scan(step, init, bits)
+    return acc

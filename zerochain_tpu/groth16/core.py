@@ -116,27 +116,23 @@ def _transpose(cs: ConstraintSystem, num_vars: int, offset_aux: int):
     return at, bt, ct
 
 
-def generate_parameters(
-    circuit, tau: int, alpha: int, beta: int, gamma: int, delta: int,
-    backend=MIRROR,
-) -> Parameters:
-    """Deterministic CRS from explicit toxic waste (bellman generator.rs)."""
+def crs_exponents(circuit, tau: int, alpha: int, beta: int, gamma: int,
+                  delta: int):
+    """The CRS exponent vectors (bellman generator.rs, pre-exponentiation).
+
+    Returns dict with h/a(u)/b(v)/ic/l exponent lists + num_inputs."""
     cs = ConstraintSystem(track_names=False)
     circuit.synthesize(cs)
     _pad_input_constraints(cs)
 
     n_in = cs.num_inputs
-    n_aux = len(cs.aux)
-    n_vars = n_in + n_aux
+    n_vars = n_in + len(cs.aux)
     m = cs.num_constraints
     d = dom.domain_size(m)
     omega = dom.omega_for(d)
 
     gamma_inv = fr_inv(gamma)
     delta_inv = fr_inv(delta)
-
-    g1 = cv.G1_GEN
-    g2 = cv.G2_GEN
 
     # Lagrange coefficients at tau: iNTT of (1, tau, ..., tau^{d-1})
     taupows = []
@@ -149,7 +145,6 @@ def generate_parameters(
     h_exps = [taupows[i] * zt_delta % R for i in range(d - 1)]
 
     lag = dom.intt(taupows, omega)
-
     at, bt, ct = _transpose(cs, n_vars, n_in)
 
     def poly_at_tau(rows):
@@ -170,6 +165,35 @@ def generate_parameters(
         (beta * u[i] + alpha * v[i] + w[i]) % R * delta_inv % R
         for i in range(n_in, n_vars)
     ]
+    return dict(
+        h=h_exps, u=u, v=v, ic=ic_exps, l=l_exps, num_inputs=n_in,
+        alpha=alpha, beta=beta, gamma=gamma, delta=delta,
+    )
+
+
+def vk_from_exponents(exps, ic_points=None) -> VerifyingKey:
+    g1, g2 = cv.G1_GEN, cv.G2_GEN
+    if ic_points is None:
+        ic_points = cv.g1_fixed_base_exp(exps["ic"])
+    return VerifyingKey(
+        alpha_g1=cv.g1_mul(g1, exps["alpha"]),
+        beta_g1=cv.g1_mul(g1, exps["beta"]),
+        beta_g2=cv.g2_mul(g2, exps["beta"]),
+        gamma_g2=cv.g2_mul(g2, exps["gamma"]),
+        delta_g1=cv.g1_mul(g1, exps["delta"]),
+        delta_g2=cv.g2_mul(g2, exps["delta"]),
+        ic=ic_points,
+    )
+
+
+def generate_parameters(
+    circuit, tau: int, alpha: int, beta: int, gamma: int, delta: int,
+    backend=MIRROR,
+) -> Parameters:
+    """Deterministic CRS from explicit toxic waste (bellman generator.rs)."""
+    exps = crs_exponents(circuit, tau, alpha, beta, gamma, delta)
+    h_exps, u, v = exps["h"], exps["u"], exps["v"]
+    ic_exps, l_exps = exps["ic"], exps["l"]
 
     # bulk fixed-base exponentiations (the CRS hot loop) via the backend
     n_h, n_u, n_v, n_ic = len(h_exps), len(u), len(v), len(ic_exps)
@@ -183,18 +207,10 @@ def generate_parameters(
 
     assert all(p is not None for p in ic), "IC must not contain infinity"
 
-    vk = VerifyingKey(
-        alpha_g1=cv.g1_mul(g1, alpha),
-        beta_g1=cv.g1_mul(g1, beta),
-        beta_g2=cv.g2_mul(g2, beta),
-        gamma_g2=cv.g2_mul(g2, gamma),
-        delta_g1=cv.g1_mul(g1, delta),
-        delta_g2=cv.g2_mul(g2, delta),
-        ic=ic,
-    )
+    vk = vk_from_exponents(exps, ic_points=ic)
     return Parameters(
         vk=vk, h=h, l=l_query, a=a_query, b_g1=b_g1_query, b_g2=b_g2_query,
-        num_inputs=n_in,
+        num_inputs=exps["num_inputs"],
     )
 
 

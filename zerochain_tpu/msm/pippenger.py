@@ -30,7 +30,8 @@ from ..ec.fields import FqOps, Fq2Ops
 from ..ff import limbs as L
 
 FR = L.FR
-WINDOW_C = 8
+import os as _os
+WINDOW_C = int(_os.environ.get("ZEROCHAIN_MSM_C", "8"))
 
 
 # -------------------------------------------------------- pytree helpers
@@ -80,35 +81,45 @@ def digits_from_bits(bits: jnp.ndarray, c: int, n_windows: int) -> jnp.ndarray:
 class Msm:
     """Variable-base MSM over one Weierstrass group (G1 or G2)."""
 
-    def __init__(self, field, c: int = WINDOW_C, n_bits: int = 255):
+    def __init__(self, field, c: int | None = None, n_bits: int = 255):
         self.F = field
-        self.c = c
+        self.c = WINDOW_C if c is None else c
         self.n_bits = n_bits
-        self.n_windows = -(-n_bits // c)
+        self.n_windows = -(-n_bits // self.c)
         self._jit = jax.jit(self._impl)
 
     def _window_total(self, points_jac, keys):
         """Bucket-accumulate one window; returns a single Jacobian point."""
         F = self.F
+        n = keys.shape[0]
         order = jnp.argsort(keys)
         keys_s = jnp.take(keys, order)
         pts_s = tmap(lambda a: jnp.take(a, order, axis=-1), points_jac)
 
-        # segmented prefix-sum: flags mark segment starts
+        # segmented inclusive prefix-sum, Hillis-Steele formulation: a
+        # lax.scan over log2(N) levels whose body holds ONE point-add, so
+        # the graph stays compact (associative_scan would inline an add
+        # per level).
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]
         )
+        pos = jnp.arange(n)
+        n_levels = max(1, (n - 1).bit_length())
+        shifts = jnp.asarray([1 << d for d in range(n_levels)], jnp.int32)
 
-        def combine(a, b):
-            pa, fa = a
-            pb, fb = b
-            merged = W.add(F, pa, pb)
-            out = W.select(F, fb, pb, merged)
-            return (out, jnp.logical_or(fa, fb))
+        def level(carry, s):
+            x, f = carry
+            xl = tmap(lambda a: jnp.roll(a, s, axis=-1), x)
+            fl = jnp.roll(f, s)
+            merged = W.add(F, xl, x)
+            cand = W.select(F, f, x, merged)  # segment start: keep x
+            f_new = jnp.logical_or(f, fl)
+            keep = pos < s  # no left neighbour at distance s
+            out = W.select(F, keep, x, cand)
+            f_out = jnp.where(keep, f, f_new)
+            return (out, f_out), None
 
-        prefix, _ = jax.lax.associative_scan(
-            combine, (pts_s, starts), axis=-1
-        )
+        (prefix, _), _ = jax.lax.scan(level, (pts_s, starts), shifts)
         ends = jnp.concatenate([keys_s[1:] != keys_s[:-1], jnp.ones((1,), bool)])
 
         # scatter segment sums into 2^c buckets (masked -> dummy slot)
@@ -171,12 +182,12 @@ class Msm:
 class FixedBaseMsm:
     """Same-base MSM g^{e_i}: windowed table + gather + tree reduction."""
 
-    def __init__(self, field, base_affine, c: int = WINDOW_C,
+    def __init__(self, field, base_affine, c: int | None = None,
                  n_bits: int = 255, grp=None):
         self.F = field
-        self.c = c
+        self.c = WINDOW_C if c is None else c
         self.n_bits = n_bits
-        self.n_windows = -(-n_bits // c)
+        self.n_windows = -(-n_bits // self.c)
         if grp is None:
             from ..ec import g1 as _g1, g2 as _g2
 
@@ -283,15 +294,30 @@ def _naive_msm_impl(field, points_jac, bits):
 
 
 # ---------------------------------------------------------------- host API
+def _pad_size(n: int) -> int:
+    """Round up to a small set of shapes so compilations are reused."""
+    size = 64
+    while size < n:
+        size *= 2
+    return size
+
+
 def _msm_host(grp, field, points, scalars):
-    """Host-level MSM: mirror affine points + int scalars -> affine point."""
+    """Host-level MSM: mirror affine points + int scalars -> affine point.
+
+    Inputs are padded (identity points, zero scalars) to bucketed sizes so
+    each group needs only a handful of compiled variants."""
     pairs = [(p, s) for p, s in zip(points, scalars) if p is not None and s]
     if not pairs:
         return None
     pts, scs = zip(*pairs)
-    jac = grp.from_affine_host(list(pts))
-    bits = scalars_to_bits(list(scs), 255)
-    if len(pts) < 64:
+    n = len(pts)
+    padded = _pad_size(n)
+    pts = list(pts) + [None] * (padded - n)
+    scs = list(scs) + [0] * (padded - n)
+    jac = grp.from_affine_host(pts)
+    bits = scalars_to_bits(scs, 255)
+    if padded <= 64:
         res = naive_msm(field, jac, bits)
     else:
         res = Msm(field)(jac, bits)

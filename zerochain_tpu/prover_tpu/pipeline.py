@@ -1,26 +1,28 @@
 """End-to-end TPU Groth16 prover for ConfidentialTransfer.
 
 prove = compiled witness synthesis -> constraint matvec -> NTT quotient ->
-MSMs -> (host) final proof assembly.  Only the last step (6 single scalar
-muls + 6 adds per proof) runs on host bigints; everything hot is JAX.
-Mirrors bellman's create_random_proof pipeline (SURVEY.md §3.2).
+MSMs -> on-device final assembly (A/B/C from alpha/beta/delta and r, s).
+Everything stays on the device; the only host transfer is one flattened
+batch of normalized proof points (the axon tunnel makes per-array fetches
+expensive).  Mirrors bellman's create_random_proof pipeline (SURVEY.md §3.2).
 """
 
 from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ec import g1 as jg1
 from ..ec import g2 as jg2
+from ..ec import weierstrass as W
 from ..ec.fields import FqOps, Fq2Ops
 from ..ff import limbs as L
 from ..groth16 import domain as dom
 from ..groth16.core import Parameters, Proof, _pad_input_constraints
-from ..mirror import curves as cv
-from ..mirror.field import R
+from ..mirror.field import Q, R
 from ..models.confidential import ConfidentialTransfer
 from ..msm import pippenger as pip
 from ..ntt import plan_for
@@ -29,13 +31,14 @@ from .matvec import ConstraintMatrices
 from . import witness as wit
 
 FR = L.FR
+FQ = L.FQ
 
 
 class ConfidentialProver:
     """Holds device-resident CRS + compiled kernels for batched proving."""
 
-    def __init__(self, params: Parameters):
-        self.params = params
+    def __init__(self, params: Parameters | None, _device_queries=None,
+                 _vk=None):
         cs = ConstraintSystem(track_names=False)
         ConfidentialTransfer().synthesize(cs)
         _pad_input_constraints(cs)
@@ -46,15 +49,100 @@ class ConfidentialProver:
         self.d = dom.domain_size(self.m)
         self.plan = plan_for(self.d)
 
-        # device-resident CRS queries (None -> infinity, handled as Z=0)
-        self.h_pts = jg1.from_affine_host(params.h)
-        self.l_pts = jg1.from_affine_host(params.l)
-        self.a_pts = jg1.from_affine_host(params.a)
-        self.b1_pts = jg1.from_affine_host(params.b_g1)
-        self.b2_pts = jg2.from_affine_host(params.b_g2)
+        if _device_queries is not None:
+            vk = _vk
+            self.params = None
+            self.vk = vk
+            (self.h_pts, self.l_pts, self.a_pts, self.b1_pts,
+             self.b2_pts) = _device_queries
+        else:
+            self.params = params
+            vk = params.vk
+            self.vk = vk
+            # device-resident CRS queries (None -> infinity, Z=0)
+            self.h_pts = jg1.from_affine_host(params.h)
+            self.l_pts = jg1.from_affine_host(params.l)
+            self.a_pts = jg1.from_affine_host(params.a)
+            self.b1_pts = jg1.from_affine_host(params.b_g1)
+            self.b2_pts = jg2.from_affine_host(params.b_g2)
+
+        self.alpha_g1 = jg1.from_affine_host([vk.alpha_g1])
+        self.beta_g1 = jg1.from_affine_host([vk.beta_g1])
+        self.delta_g1 = jg1.from_affine_host([vk.delta_g1])
+        self.beta_g2 = jg2.from_affine_host([vk.beta_g2])
+        self.delta_g2 = jg2.from_affine_host([vk.delta_g2])
+
+        # pad every MSM to one size so exactly one G1 + one G2 kernel
+        # shape is ever compiled
+        self.msm_n = self.d
+        self.h_pts = self._pad_pts(self.h_pts)
+        self.l_pts = self._pad_pts(self.l_pts)
+        self.a_pts = self._pad_pts(self.a_pts)
+        self.b1_pts = self._pad_pts(self.b1_pts)
+        self.b2_pts = self._pad_pts(self.b2_pts)
 
         self.msm_g1 = pip.Msm(FqOps)
         self.msm_g2 = pip.Msm(Fq2Ops)
+        self._assemble = jax.jit(self._assemble_impl)
+
+    def _pad_pts(self, pts):
+        def pad(a):
+            n = a.shape[-1]
+            if n >= self.msm_n:
+                return a[..., : self.msm_n]
+            z = jnp.zeros(a.shape[:-1] + (self.msm_n - n,), a.dtype)
+            return jnp.concatenate([a, z], axis=-1)
+
+        return pip.tmap(pad, pts)
+
+    @staticmethod
+    def _pad_bits(bits, n):
+        cur = bits.shape[-1]
+        if cur >= n:
+            return bits[..., :n]
+        z = jnp.zeros(bits.shape[:-1] + (n - cur,), bits.dtype)
+        return jnp.concatenate([bits, z], axis=-1)
+
+    @classmethod
+    def from_toxic_waste(cls, tau, alpha, beta, gamma, delta,
+                         chunk: int = 4096, chunk_g2: int = 1024):
+        """Generate the CRS directly on device (no host point round trip —
+        host<->device transfers through the tunnel are the slow path).
+        Query points stay as device Jacobian arrays; only the small vk/ic
+        goes through host bigints."""
+        from ..groth16.core import crs_exponents, vk_from_exponents
+        from ..mirror import curves as cv
+
+        exps = crs_exponents(
+            ConfidentialTransfer(), tau, alpha, beta, gamma, delta
+        )
+        vk = vk_from_exponents(exps)
+
+        fb1 = pip.FixedBaseMsm(FqOps, cv.G1_GEN)
+        fb2 = pip.FixedBaseMsm(Fq2Ops, cv.G2_GEN)
+
+        def dev(fb, exp_list, ch):
+            """Chunked fixed-base exponentiation; the window-gather temp is
+            (n_windows*chunk) wide, so the chunk bounds HBM temp usage."""
+            parts = []
+            for off in range(0, len(exp_list), ch):
+                part = exp_list[off : off + ch]
+                part = part + [0] * (ch - len(part))
+                parts.append(fb(pip.scalars_to_bits(part, 255)))
+            n = len(exp_list)
+            cat = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=-1)[..., :n], *parts
+            )
+            return cat
+
+        queries = (
+            dev(fb1, exps["h"], chunk),
+            dev(fb1, exps["l"], chunk),
+            dev(fb1, exps["u"], chunk),
+            dev(fb1, exps["v"], chunk),
+            dev(fb2, exps["v"], chunk_g2),
+        )
+        return cls(None, _device_queries=queries, _vk=vk)
 
     # ------------------------------------------------------------------
     def _h_scalars(self, witness_mont):
@@ -79,11 +167,60 @@ class ConfidentialProver:
         return h
 
     # ------------------------------------------------------------------
-    def prove(self, assignments: list[dict], rs=None) -> list[Proof]:
-        """assignments: per-proof witness dicts (see witness_inputs_host).
+    def _assemble_impl(self, a_acc, b1_acc, b2_acc, l_acc, h_acc,
+                       r_bits, s_bits):
+        """Per-proof accumulators (leaf batch (B,)) + r/s bits (255, B) ->
+        normalized affine proof coordinates, one flat int32 vector."""
+        B = r_bits.shape[1]
 
-        Returns bellman-equation-identical proofs (verified by the mirror
-        verifier under the same CRS)."""
+        def bcast_g1(p):
+            return pip.tmap(
+                lambda a: jnp.broadcast_to(a, a.shape[:-1] + (B,)), p
+            )
+
+        def bcast_g2(p):
+            return pip.tmap(
+                lambda a: (
+                    tuple(jnp.broadcast_to(c, c.shape[:-1] + (B,)) for c in a)
+                    if isinstance(a, tuple) else
+                    jnp.broadcast_to(a, a.shape[:-1] + (B,))
+                ),
+                p,
+            )
+
+        r_delta1 = W.scalar_mul_bits_jac(FqOps, bcast_g1(self.delta_g1), r_bits)
+        s_delta1 = W.scalar_mul_bits_jac(FqOps, bcast_g1(self.delta_g1), s_bits)
+        s_delta2 = W.scalar_mul_bits_jac(Fq2Ops, bcast_g2(self.delta_g2), s_bits)
+
+        # A = alpha + sum_a + r*delta
+        g_a = W.add(FqOps, bcast_g1(self.alpha_g1), a_acc)
+        g_a = W.add(FqOps, g_a, r_delta1)
+        # B = beta + sum_b2 + s*delta (G2)
+        g_b = W.add(Fq2Ops, bcast_g2(self.beta_g2), b2_acc)
+        g_b = W.add(Fq2Ops, g_b, s_delta2)
+        # B1 = beta1 + sum_b1 + s*delta1
+        b1_full = W.add(FqOps, bcast_g1(self.beta_g1), b1_acc)
+        b1_full = W.add(FqOps, b1_full, s_delta1)
+        # C = s*A + r*B1 - rs*delta + l + h
+        sA = W.scalar_mul_bits_jac(FqOps, g_a, s_bits)
+        rB1 = W.scalar_mul_bits_jac(FqOps, b1_full, r_bits)
+        rs_delta = W.scalar_mul_bits_jac(FqOps, r_delta1, s_bits)
+        g_c = W.add(FqOps, sA, rB1)
+        g_c = W.add(FqOps, g_c, W.neg(FqOps, rs_delta))
+        g_c = W.add(FqOps, g_c, l_acc)
+        g_c = W.add(FqOps, g_c, h_acc)
+
+        ax, ay, _ = W.normalize(FqOps, g_a)
+        cx, cy, _ = W.normalize(FqOps, g_c)
+        (bx0, bx1), (by0, by1), _ = W.normalize(Fq2Ops, g_b)
+        flat = jnp.concatenate(
+            [x.reshape(-1) for x in (ax, ay, cx, cy, bx0, bx1, by0, by1)]
+        )
+        return flat
+
+    # ------------------------------------------------------------------
+    def prove(self, assignments: list[dict], rs=None) -> list[Proof]:
+        """assignments: per-proof witness dicts (witness_inputs_host)."""
         B = len(assignments)
         inputs = wit.witness_inputs_host(assignments)
         aux, public = wit.confidential_witness_jit(**inputs)
@@ -91,57 +228,67 @@ class ConfidentialProver:
 
         h_scalars = self._h_scalars(witness_mont)
 
-        # canonical bit arrays for the MSM scalars
         wit_canon = L.from_mont(FR, witness_mont)
         h_canon = L.from_mont(FR, h_scalars)
         wit_bits = pip.limbs_to_bits(wit_canon, 255)  # (255, n_vars, B)
         h_bits = pip.limbs_to_bits(h_canon, 255)
 
-        proofs = []
-        vk = self.params.vk
+        a_l, b1_l, b2_l, l_l, h_l = [], [], [], [], []
         for b in range(B):
-            a_acc = self._affine(
-                self.msm_g1(self.a_pts, wit_bits[:, :, b]), jg1
-            )
-            b1_acc = self._affine(
-                self.msm_g1(self.b1_pts, wit_bits[:, :, b]), jg1
-            )
-            b2_acc = self._affine(
-                self.msm_g2(self.b2_pts, wit_bits[:, :, b]), jg2
-            )
-            l_acc = self._affine(
-                self.msm_g1(self.l_pts, wit_bits[:, self.num_inputs :, b]),
-                jg1,
-            )
-            h_acc = self._affine(
-                self.msm_g1(self.h_pts, h_bits[:, :, b]), jg1
+            wb = self._pad_bits(wit_bits[:, :, b], self.msm_n)
+            lb = self._pad_bits(wit_bits[:, self.num_inputs :, b], self.msm_n)
+            hb = self._pad_bits(h_bits[:, :, b], self.msm_n)
+            a_l.append(self.msm_g1(self.a_pts, wb))
+            b1_l.append(self.msm_g1(self.b1_pts, wb))
+            b2_l.append(self.msm_g2(self.b2_pts, wb))
+            l_l.append(self.msm_g1(self.l_pts, lb))
+            h_l.append(self.msm_g1(self.h_pts, hb))
+
+        def stack_g1(ps):
+            return tuple(jnp.stack(c, axis=-1) for c in zip(*ps))
+
+        def stack_g2(ps):
+            return tuple(
+                tuple(jnp.stack(cc, axis=-1) for cc in zip(*comp))
+                for comp in zip(*ps)
             )
 
-            r, s = (
-                rs[b]
-                if rs is not None
-                else (
+        a_acc = stack_g1(a_l)
+        b1_acc = stack_g1(b1_l)
+        l_acc = stack_g1(l_l)
+        h_acc = stack_g1(h_l)
+        b2_acc = stack_g2(b2_l)
+
+        if rs is None:
+            rs = [
+                (
                     int.from_bytes(os.urandom(32), "little") % R,
                     int.from_bytes(os.urandom(32), "little") % R,
                 )
+                for _ in range(B)
+            ]
+        r_bits = pip.scalars_to_bits([r for r, _ in rs], 255)
+        s_bits = pip.scalars_to_bits([s for _, s in rs], 255)
+
+        flat = self._assemble(
+            a_acc, b1_acc, b2_acc, l_acc, h_acc, r_bits, s_bits
+        )
+        host = np.asarray(flat).reshape(8, FQ.n, B)
+
+        proofs = []
+        for b in range(B):
+            vals = [
+                L.from_limbs(FQ, host[i, :, b : b + 1], mont=True)[0]
+                for i in range(8)
+            ]
+            ax, ay, cx, cy, bx0, bx1, by0, by1 = vals
+            proofs.append(
+                Proof(
+                    a=(ax, ay),
+                    b=((bx0, bx1), (by0, by1)),
+                    c=(cx, cy),
+                )
             )
-            g_a = cv.g1_add(
-                cv.g1_add(vk.alpha_g1, a_acc), cv.g1_mul(vk.delta_g1, r)
-            )
-            g_b = cv.g2_add(
-                cv.g2_add(vk.beta_g2, b2_acc), cv.g2_mul(vk.delta_g2, s)
-            )
-            b1_full = cv.g1_add(
-                cv.g1_add(vk.beta_g1, b1_acc), cv.g1_mul(vk.delta_g1, s)
-            )
-            g_c = cv.g1_mul(g_a, s)
-            g_c = cv.g1_add(g_c, cv.g1_mul(b1_full, r))
-            g_c = cv.g1_add(
-                g_c, cv.g1_neg(cv.g1_mul(vk.delta_g1, r * s % R))
-            )
-            g_c = cv.g1_add(g_c, l_acc)
-            g_c = cv.g1_add(g_c, h_acc)
-            proofs.append(Proof(a=g_a, b=g_b, c=g_c))
         return proofs
 
     def public_inputs(self, assignments: list[dict]) -> list[list[int]]:
@@ -154,9 +301,3 @@ class ConfidentialProver:
             vals = L.from_limbs(FR, pub[:, :, b], mont=True)
             out.append(vals[1:])
         return out
-
-    @staticmethod
-    def _affine(jac, grp):
-        return grp.to_affine_host(
-            pip.tmap(lambda a: a[..., None], jac)
-        )[0]
