@@ -10,6 +10,8 @@ also set jax.config after import.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# smaller Pippenger windows on CPU: same code path, far cheaper compiles
+os.environ.setdefault("ZEROCHAIN_MSM_C", "4")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

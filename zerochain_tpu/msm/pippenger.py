@@ -44,12 +44,10 @@ def tmap(fn, pt):
 
 
 def scalars_to_bits(scalars: list[int], n_bits: int = 255) -> jnp.ndarray:
-    """Host ints -> (n_bits, N) LE bit array."""
-    arr = np.zeros((n_bits, len(scalars)), dtype=np.int32)
-    for j, s in enumerate(scalars):
-        for i in range(n_bits):
-            arr[i, j] = (s >> i) & 1
-    return jnp.asarray(arr)
+    """Host ints -> (n_bits, N) LE bit array (native codec)."""
+    from ..native.codec import scalars_to_bits_np
+
+    return jnp.asarray(scalars_to_bits_np(list(scalars), n_bits))
 
 
 def limbs_to_bits(limbs: jnp.ndarray, n_bits: int = 255) -> jnp.ndarray:

@@ -515,11 +515,9 @@ confidential_witness_jit = jax.jit(confidential_witness)
 
 # ---------------------------------------------------------------- host API
 def bits_le_host(values, n_bits):
-    arr = np.zeros((n_bits, len(values)), dtype=np.int32)
-    for j, v in enumerate(values):
-        for i in range(n_bits):
-            arr[i, j] = (v >> i) & 1
-    return jnp.asarray(arr)
+    from ..native.codec import scalars_to_bits_np
+
+    return jnp.asarray(scalars_to_bits_np(list(values), n_bits))
 
 
 def affine_mont_host(points):
