@@ -73,8 +73,11 @@ class ConfidentialProver:
         self.delta_g2 = jg2.from_affine_host([vk.delta_g2])
 
         # pad every MSM to one size so exactly one G1 + one G2 kernel
-        # shape is ever compiled
+        # shape is ever compiled; MSMs run in fixed-size chunks (summed
+        # Jacobian partials) to bound the on-device footprint
         self.msm_n = self.d
+        self.msm_chunk_g1 = 8192
+        self.msm_chunk_g2 = 4096
         self.h_pts = self._pad_pts(self.h_pts)
         self.l_pts = self._pad_pts(self.l_pts)
         self.a_pts = self._pad_pts(self.a_pts)
@@ -102,6 +105,21 @@ class ConfidentialProver:
             return bits[..., :n]
         z = jnp.zeros(bits.shape[:-1] + (n - cur,), bits.dtype)
         return jnp.concatenate([bits, z], axis=-1)
+
+    def _msm_chunked(self, field, pts, bits):
+        """MSM in fixed-size chunks; partial Jacobian sums are added."""
+        if field is FqOps:
+            chunk, msm, addp = self.msm_chunk_g1, self.msm_g1, jg1.add
+        else:
+            chunk, msm, addp = self.msm_chunk_g2, self.msm_g2, jg2.add
+        acc = None
+        for off in range(0, self.msm_n, chunk):
+            part = msm(
+                pip.tmap(lambda a: a[..., off : off + chunk], pts),
+                bits[..., off : off + chunk],
+            )
+            acc = part if acc is None else addp(acc, part)
+        return acc
 
     @classmethod
     def from_toxic_waste(cls, tau, alpha, beta, gamma, delta,
@@ -238,11 +256,11 @@ class ConfidentialProver:
             wb = self._pad_bits(wit_bits[:, :, b], self.msm_n)
             lb = self._pad_bits(wit_bits[:, self.num_inputs :, b], self.msm_n)
             hb = self._pad_bits(h_bits[:, :, b], self.msm_n)
-            a_l.append(self.msm_g1(self.a_pts, wb))
-            b1_l.append(self.msm_g1(self.b1_pts, wb))
-            b2_l.append(self.msm_g2(self.b2_pts, wb))
-            l_l.append(self.msm_g1(self.l_pts, lb))
-            h_l.append(self.msm_g1(self.h_pts, hb))
+            a_l.append(self._msm_chunked(FqOps, self.a_pts, wb))
+            b1_l.append(self._msm_chunked(FqOps, self.b1_pts, wb))
+            b2_l.append(self._msm_chunked(Fq2Ops, self.b2_pts, wb))
+            l_l.append(self._msm_chunked(FqOps, self.l_pts, lb))
+            h_l.append(self._msm_chunked(FqOps, self.h_pts, hb))
 
         def stack_g1(ps):
             return tuple(jnp.stack(c, axis=-1) for c in zip(*ps))
