@@ -87,7 +87,7 @@ def main():
     _setup_jax()
     from zerochain_tpu.groth16.core import prepare_verifying_key, verify_proof
 
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "2"))
     prover = _get_prover()
     assignments = _assignments(batch)
 
@@ -125,5 +125,20 @@ def main():
     )
 
 
+def _main_with_retries():
+    """The tunneled TPU worker occasionally crashes mid-run; retry in a
+    fresh process (device handles don't survive a worker restart)."""
+    attempt = int(os.environ.get("_BENCH_ATTEMPT", "0"))
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        if attempt >= 2:
+            raise
+        print(f"# attempt {attempt} failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        os.environ["_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retries()

@@ -20,16 +20,21 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pathlib
 import resource
+import sys
 
 # XLA's CPU compiler recurses deeply on the big witness/MSM graphs; the
-# default 8 MB stack segfaults LLVM worker threads spawned later.
-try:
-    resource.setrlimit(
-        resource.RLIMIT_STACK,
-        (resource.RLIM_INFINITY, resource.RLIM_INFINITY),
-    )
-except (ValueError, OSError):
-    pass
+# default 8 MB thread stack segfaults LLVM.  glibc samples RLIMIT_STACK for
+# pthread defaults at process start, so raising it here is only effective
+# after a re-exec.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY and not os.environ.get("_ZC_REEXEC"):
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+        os.environ["_ZC_REEXEC"] = "1"
+        os.environ["PYTHONUNBUFFERED"] = "1"
+        os.execv(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]])
+    except (ValueError, OSError):
+        pass
 
 import jax
 import pytest

@@ -195,35 +195,66 @@ class FixedBaseMsm:
         self._jit = jax.jit(self._impl)
 
     def _build_table(self, base_affine):
-        F = self.F
-        nw, nb, c = self.n_windows, 1 << self.c, self.c
-        single = self.grp.from_affine_host([base_affine])  # batch (1,)
+        """Host-side windowed table (mirror Jacobian, milliseconds), stored
+        as NUMPY mont-limb arrays: numpy constants embed host-side at
+        lowering, avoiding device round trips through the tunnel."""
+        from ..mirror import curves as cv
 
-        @jax.jit
-        def build(single):
-            # window bases B_w = 2^{cw} * base via a doubling scan
-            def dbl_chain(cur, _):
-                nxt = cur
-                for _ in range(c):
-                    nxt = W.double(F, nxt)
-                return nxt, cur
+        nw, nb = self.n_windows, 1 << self.c
+        if self.F is FqOps:
+            jac, to_aff = cv._G1_JAC, cv._jac_to_affine_g1
+        else:
+            jac, to_aff = cv._G2_JAC, cv._jac_to_affine_g2
 
-            _, snaps = jax.lax.scan(dbl_chain, single, None, length=nw)
-            # snaps leaves: (nw, limbs, 1) -> batch (nw,)
-            bw = tmap(lambda a: jnp.moveaxis(a[..., 0], 0, -1), snaps)
+        # table[w][k] = k * 2^{cw} * base (affine host ints; None=identity)
+        flat = []
+        cur = base_affine
+        for _ in range(nw):
+            acc = None
+            flat.append(None)
+            for _ in range(nb - 1):
+                acc = jac.add_mixed(acc, cur)
+                flat.append(to_aff(acc))
+            j = (cur[0], cur[1], jac.one)
+            for _ in range(self.c):
+                j = jac.double(j)
+            cur = to_aff(j)
 
-            # rows k*B_w for k = 0..nb-1 via an addition scan
-            def add_row(acc, _):
-                nxt = W.add(F, acc, bw)
-                return nxt, acc
+        # -> Jacobian numpy limb planes, batch (nw * nb,) reshaped later
+        xs, ys, zs = [], [], []
+        for p in flat:
+            if p is None:
+                if self.F is FqOps:
+                    xs.append(0); ys.append(0); zs.append(0)
+                else:
+                    xs.append((0, 0)); ys.append((0, 0)); zs.append((0, 0))
+            else:
+                xs.append(p[0]); ys.append(p[1])
+                zs.append(1 if self.F is FqOps else (1, 0))
 
-            _, rows = jax.lax.scan(
-                add_row, W.identity(F, (nw,)), None, length=nb
-            )
-            # rows leaves: (nb, limbs, nw) -> batch (nw, nb)
-            return tmap(lambda a: jnp.moveaxis(a, 0, -1), rows)
+        def npify(vals):
+            if self.F is FqOps:
+                from ..mirror.field import Q
 
-        return build(single)
+                out = np.zeros((L.FQ.n, len(vals)), dtype=np.int32)
+                for j, v in enumerate(vals):
+                    out[:, j] = L._int_to_limbs(
+                        v * L.FQ.r_mod_p % Q, L.FQ.n
+                    )
+                return out.reshape(L.FQ.n, nw, nb)
+            c0 = npify_g1([v[0] for v in vals])
+            c1 = npify_g1([v[1] for v in vals])
+            return (c0, c1)
+
+        def npify_g1(vals):
+            from ..mirror.field import Q
+
+            out = np.zeros((L.FQ.n, len(vals)), dtype=np.int32)
+            for j, v in enumerate(vals):
+                out[:, j] = L._int_to_limbs(v * L.FQ.r_mod_p % Q, L.FQ.n)
+            return out.reshape(L.FQ.n, nw, nb)
+
+        return (npify(xs), npify(ys), npify(zs))
 
     def __call__(self, bits):
         """bits: (n_bits, N) -> Jacobian arrays batch (N,)."""

@@ -46,7 +46,7 @@ class NttPlan:
         rev = np.zeros(d, dtype=np.int32)
         for b in range(self.lg):
             rev |= ((idx >> b) & 1) << (self.lg - 1 - b)
-        self.bitrev = jnp.asarray(rev)
+        self.bitrev = rev
 
         # per-stage twiddles: stage s has half-size m = 2^s, twiddles
         # w_m^l = omega^(d/(2m) * l) for l in 0..m-1
@@ -60,13 +60,13 @@ class NttPlan:
                 for _ in range(m):
                     tw.append(cur)
                     cur = cur * base % R
-                out.append(jnp.asarray(_to_mont_np(tw)))
+                out.append(_to_mont_np(tw))
             return out
 
         self.twiddles = stage_twiddles(omega)
         self.twiddles_inv = stage_twiddles(omega_inv)
 
-        self.n_inv = jnp.asarray(_to_mont_np([fr_inv(d)])[:, 0])
+        self.n_inv = _to_mont_np([fr_inv(d)])[:, 0]
 
         # coset scaling vectors (Montgomery): g^i and g^{-i}
         g = FR_GENERATOR
@@ -77,14 +77,12 @@ class NttPlan:
             for _ in range(d):
                 out.append(cur)
                 cur = cur * base % R
-            return jnp.asarray(_to_mont_np(out))
+            return _to_mont_np(out)
 
         self.coset = powers(g)
         self.coset_inv = powers(ginv)
         # 1 / z(coset) = 1 / (g^d - 1), Montgomery
-        self.zinv = jnp.asarray(
-            _to_mont_np([fr_inv((pow(g, d, R) - 1) % R)])[:, 0]
-        )
+        self.zinv = _to_mont_np([fr_inv((pow(g, d, R) - 1) % R)])[:, 0]
 
         # jitted entry points (eager limb math is pathological)
         self.ntt = jax.jit(self._ntt)

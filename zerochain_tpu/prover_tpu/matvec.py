@@ -49,13 +49,10 @@ class ConstraintMatrices:
             rows = np.asarray(rows, dtype=np.int32)[order]
             cols = np.asarray(cols, dtype=np.int32)[order]
             cmat = _coeffs_to_mont_limbs([coeffs[i] for i in order])
-            mats.append(
-                (
-                    jnp.asarray(rows),
-                    jnp.asarray(cols),
-                    jnp.asarray(cmat),
-                )
-            )
+            # keep as numpy: jit-captured DEVICE constants are fetched
+            # back to host during lowering (slow/crashy via the tunnel);
+            # numpy constants embed host-side.
+            mats.append((rows, cols, cmat))
         self.mats = mats
         self._eval = jax.jit(self._eval_impl)
 

@@ -34,6 +34,30 @@ FR = L.FR
 FQ = L.FQ
 
 
+def _np_fq(v: int) -> np.ndarray:
+    return L._int_to_limbs(v * FQ.r_mod_p % Q, FQ.n).reshape(FQ.n, 1)
+
+
+def _np_g1(p):
+    """Affine host point -> numpy Jacobian limb planes, batch (1,)."""
+    if p is None:
+        z = np.zeros((FQ.n, 1), np.int32)
+        return (z, z.copy(), z.copy())
+    return (_np_fq(p[0]), _np_fq(p[1]), _np_fq(1))
+
+
+def _np_g2(p):
+    if p is None:
+        z = np.zeros((FQ.n, 1), np.int32)
+        zz = (z, z.copy())
+        return (zz, (z.copy(), z.copy()), (z.copy(), z.copy()))
+    return (
+        (_np_fq(p[0][0]), _np_fq(p[0][1])),
+        (_np_fq(p[1][0]), _np_fq(p[1][1])),
+        (_np_fq(1), _np_fq(0)),
+    )
+
+
 class ConfidentialProver:
     """Holds device-resident CRS + compiled kernels for batched proving."""
 
@@ -66,11 +90,12 @@ class ConfidentialProver:
             self.b1_pts = jg1.from_affine_host(params.b_g1)
             self.b2_pts = jg2.from_affine_host(params.b_g2)
 
-        self.alpha_g1 = jg1.from_affine_host([vk.alpha_g1])
-        self.beta_g1 = jg1.from_affine_host([vk.beta_g1])
-        self.delta_g1 = jg1.from_affine_host([vk.delta_g1])
-        self.beta_g2 = jg2.from_affine_host([vk.beta_g2])
-        self.delta_g2 = jg2.from_affine_host([vk.delta_g2])
+        # numpy (host) constants: embed at lowering without device fetches
+        self.alpha_g1 = _np_g1(vk.alpha_g1)
+        self.beta_g1 = _np_g1(vk.beta_g1)
+        self.delta_g1 = _np_g1(vk.delta_g1)
+        self.beta_g2 = _np_g2(vk.beta_g2)
+        self.delta_g2 = _np_g2(vk.delta_g2)
 
         # pad every MSM to one size so exactly one G1 + one G2 kernel
         # shape is ever compiled; MSMs run in fixed-size chunks (summed
@@ -119,6 +144,9 @@ class ConfidentialProver:
                 bits[..., off : off + chunk],
             )
             acc = part if acc is None else addp(acc, part)
+            # serialize: unbounded async queueing of chunk executions
+            # overlaps their HBM temps and can crash the worker
+            jax.tree_util.tree_leaves(acc)[0].block_until_ready()
         return acc
 
     @classmethod
@@ -288,9 +316,18 @@ class ConfidentialProver:
         r_bits = pip.scalars_to_bits([r for r, _ in rs], 255)
         s_bits = pip.scalars_to_bits([s for _, s in rs], 255)
 
+        import sys as _sys
+
+        print("# msms done", file=_sys.stderr)
+        if os.environ.get("ZEROCHAIN_HOST_ASSEMBLE"):
+            return self._host_assemble(
+                a_acc, b1_acc, b2_acc, l_acc, h_acc, rs, B
+            )
         flat = self._assemble(
             a_acc, b1_acc, b2_acc, l_acc, h_acc, r_bits, s_bits
         )
+        flat.block_until_ready()
+        print("# assemble done", file=_sys.stderr)
         host = np.asarray(flat).reshape(8, FQ.n, B)
 
         proofs = []
@@ -307,6 +344,81 @@ class ConfidentialProver:
                     c=(cx, cy),
                 )
             )
+        return proofs
+
+    def _host_assemble(self, a_acc, b1_acc, b2_acc, l_acc, h_acc, rs, B):
+        """Fallback: fetch the five MSM accumulators (one flat transfer)
+        and assemble A/B/C with host bigints (mirror)."""
+        from ..mirror import curves as cv
+        from ..mirror.field import R as _R
+
+        g1_flat = jnp.concatenate(
+            [jnp.stack(p, axis=0).reshape(-1)  # (3, FQ.n, B) flattened
+             for p in (a_acc, b1_acc, l_acc, h_acc)]
+        )
+        g2_flat = jnp.concatenate(
+            [jnp.stack([c for comp in b2_acc for c in comp], axis=0)
+             .reshape(-1)]
+        )
+        g1_host = np.asarray(g1_flat).reshape(4, 3, FQ.n, B)
+        g2_host = np.asarray(g2_flat).reshape(6, FQ.n, B)
+
+        def g1_point(arr3, b):
+            x, y, z = (
+                L.from_limbs(FQ, arr3[i, :, b : b + 1], mont=True)[0]
+                for i in range(3)
+            )
+            if z == 0:
+                return None
+            from ..mirror.field import Q as _Q
+
+            zi = pow(z, _Q - 2, _Q)
+            zi2 = zi * zi % _Q
+            return (x * zi2 % _Q, y * zi2 % _Q * zi % _Q)
+
+        def g2_point(arr6, b):
+            from ..mirror.field import Q as _Q
+            from ..mirror.field import fq2_inv, fq2_mul, fq2_sqr
+
+            vals = [
+                L.from_limbs(FQ, arr6[i, :, b : b + 1], mont=True)[0]
+                for i in range(6)
+            ]
+            x = (vals[0], vals[1])
+            y = (vals[2], vals[3])
+            z = (vals[4], vals[5])
+            if z == (0, 0):
+                return None
+            zi = fq2_inv(z)
+            zi2 = fq2_sqr(zi)
+            return (fq2_mul(x, zi2), fq2_mul(fq2_mul(y, zi2), zi))
+
+        vk = self.vk
+        proofs = []
+        for b in range(B):
+            a_pt = g1_point(g1_host[0], b)
+            b1_pt = g1_point(g1_host[1], b)
+            l_pt = g1_point(g1_host[2], b)
+            h_pt = g1_point(g1_host[3], b)
+            b2_pt = g2_point(g2_host, b)
+            r, s = rs[b]
+            g_a = cv.g1_add(
+                cv.g1_add(vk.alpha_g1, a_pt), cv.g1_mul(vk.delta_g1, r)
+            )
+            g_b = cv.g2_add(
+                cv.g2_add(vk.beta_g2, b2_pt), cv.g2_mul(vk.delta_g2, s)
+            )
+            b1_full = cv.g1_add(
+                cv.g1_add(vk.beta_g1, b1_pt), cv.g1_mul(vk.delta_g1, s)
+            )
+            g_c = cv.g1_mul(g_a, s)
+            g_c = cv.g1_add(g_c, cv.g1_mul(b1_full, r))
+            g_c = cv.g1_add(
+                g_c, cv.g1_neg(cv.g1_mul(vk.delta_g1, r * s % _R))
+            )
+            g_c = cv.g1_add(g_c, l_pt)
+            g_c = cv.g1_add(g_c, h_pt)
+            proofs.append(Proof(a=g_a, b=g_b, c=g_c))
         return proofs
 
     def public_inputs(self, assignments: list[dict]) -> list[list[int]]:
