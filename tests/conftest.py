@@ -40,8 +40,24 @@ import jax
 import pytest
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: limb-kernel graphs are expensive to compile
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# persistent compilation cache: limb-kernel graphs are expensive to compile.
+# Key the cache dir by the host's CPU feature set — sessions migrate across
+# heterogeneous machines, and loading an AOT result built for a CPU with
+# different features SIGILLs (observed as random segfaults mid-suite).
+import hashlib as _hl
+
+try:
+    _flags = ""
+    for _line in open("/proc/cpuinfo"):
+        if _line.startswith("flags"):
+            _flags = _line
+            break
+    _cpu_tag = _hl.sha256(_flags.encode()).hexdigest()[:12]
+except OSError:
+    _cpu_tag = "generic"
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/repo/.jax_cache/cpu-{_cpu_tag}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 VECTORS = pathlib.Path(__file__).parent / "vectors"

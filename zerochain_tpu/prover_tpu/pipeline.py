@@ -425,7 +425,9 @@ class ConfidentialProver:
         """The 22 runtime public inputs per proof (without ONE)."""
         inputs = wit.witness_inputs_host(assignments)
         _, public = wit.confidential_witness_jit(**inputs)
-        pub = np.asarray(public)
+        # flatten on device first: 1-D buffers take the fast transfer path
+        flat = jax.jit(lambda a: a.reshape(-1))(public)
+        pub = np.asarray(flat).reshape(public.shape)
         out = []
         for b in range(len(assignments)):
             vals = L.from_limbs(FR, pub[:, :, b], mont=True)
