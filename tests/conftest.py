@@ -12,11 +12,6 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 # smaller Pippenger windows on CPU: same code path, far cheaper compiles
 os.environ.setdefault("ZEROCHAIN_MSM_C", "4")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import pathlib
 import resource
@@ -40,6 +35,10 @@ import jax
 import pytest
 
 jax.config.update("jax_platforms", "cpu")
+# 8 virtual CPU devices for the sharding tests.  NB: the old
+# --xla_force_host_platform_device_count XLA flag is dead on jax 0.9.0;
+# jax_num_cpu_devices is the working mechanism (must run pre-backend-init).
+jax.config.update("jax_num_cpu_devices", 8)
 # persistent compilation cache: limb-kernel graphs are expensive to compile.
 # Key the cache dir by the host's CPU feature set — sessions migrate across
 # heterogeneous machines, and loading an AOT result built for a CPU with

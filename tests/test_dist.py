@@ -1,0 +1,54 @@
+"""Distributed kernels on the virtual 8-device CPU mesh (default suite).
+
+Design is greenfield per SURVEY.md §2.4: the reference has no multi-device
+compute at all (bellman's multicore fans across CPU threads); here MSM
+shards points over the mesh with an all-gather reduction and the NTT is the
+four-step algorithm with one all-to-all transpose.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from zerochain_tpu.dist.msm import sharded_msm_g1
+from zerochain_tpu.dist.ntt import distributed_ntt
+from zerochain_tpu.ec import g1 as jg1
+from zerochain_tpu.ff import limbs as L
+from zerochain_tpu.groth16 import domain as dom
+from zerochain_tpu.mirror import curves as cv
+from zerochain_tpu.mirror.field import R
+from zerochain_tpu.msm import pippenger as pip
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) == 8, "conftest must provide 8 virtual CPU devices"
+    return Mesh(np.asarray(devs), ("pt",))
+
+
+def test_sharded_msm_g1(mesh):
+    n_pts = 32  # 4 per device
+    pts_host, cur = [], cv.G1_GEN
+    for _ in range(n_pts):
+        pts_host.append(cur)
+        cur = cv.g1_double(cur)
+    scalars = [(3 + 7 * i) % R for i in range(n_pts)]
+    pts = jg1.from_affine_host(pts_host)
+    bits = pip.scalars_to_bits(scalars, 32)
+
+    res = sharded_msm_g1(pts, bits, mesh, "pt", use_pippenger=False)
+    out = jg1.to_affine_host(pip.tmap(lambda a: a[..., None], res))[0]
+    assert out == cv.g1_msm(pts_host, scalars)
+
+
+def test_distributed_ntt(mesh):
+    d1 = d2 = 16
+    d = d1 * d2
+    vals = [(11 * i + 5) % R for i in range(d)]
+    x = L.to_limbs(L.FR, vals, mont=True)
+    y = distributed_ntt(x, mesh, "pt", d1, d2)
+    got = L.from_limbs(L.FR, y, mont=True)
+    assert got == dom.ntt(vals, dom.omega_for(d))

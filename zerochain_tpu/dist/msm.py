@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ec import weierstrass as W
 from ..ec.fields import FqOps
@@ -36,16 +36,34 @@ def sharded_msm_g1(points_jac, bits, mesh: Mesh, axis_name: str,
         if use_pippenger:
             partial_sum = pip.Msm(FqOps)._impl(pts, bits_l)
         else:
-            partial_sum = pip._naive_msm_impl(FqOps, pts, bits_l)
-        # gather the per-chip partial sums and reduce identically everywhere
+            # per-point double-and-add, then a scan-reduce over the local
+            # points: exactly one add + one double graph instance, where
+            # the tree reduce of pip._naive_msm_impl would clone the add
+            # at log2(N) distinct shapes (XLA:CPU compiles each for ~min)
+            muls = W.scalar_mul_bits(
+                FqOps, (pts[0], pts[1]), bits_l
+            )
+            first = jax.tree.map(lambda a: a[..., 0], muls)
+            rest = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0)[1:], muls)
+
+            def red(acc, nxt):
+                return W.add(FqOps, acc, nxt), None
+
+            partial_sum, _ = jax.lax.scan(red, first, rest)
+        # gather the per-chip partial sums and reduce identically everywhere.
+        # lax.scan keeps ONE point-add in the graph (an unrolled loop would
+        # clone the add n_dev times — XLA:CPU compile time scales with it)
         gathered = jax.tree.map(
-            lambda a: jax.lax.all_gather(a, axis_name, axis=a.ndim),
+            lambda a: jax.lax.all_gather(a, axis_name, axis=0),
             partial_sum,
-        )  # leaves: (..., n_dev)
-        acc = jax.tree.map(lambda a: a[..., 0], gathered)
-        for i in range(1, n_dev):
-            nxt = jax.tree.map(lambda a, i=i: a[..., i], gathered)
-            acc = W.add(FqOps, acc, nxt)
+        )  # leaves: (n_dev, ...)
+        first = jax.tree.map(lambda a: a[0], gathered)
+        rest = jax.tree.map(lambda a: a[1:], gathered)
+
+        def body(acc, nxt):
+            return W.add(FqOps, acc, nxt), None
+
+        acc, _ = jax.lax.scan(body, first, rest)
         return acc
 
     fn = shard_map(
@@ -56,6 +74,6 @@ def sharded_msm_g1(points_jac, bits, mesh: Mesh, axis_name: str,
             P(None, axis_name),
         ),
         out_specs=(P(),) * 3,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(points_jac, bits)

@@ -101,8 +101,11 @@ class ConfidentialProver:
         # shape is ever compiled; MSMs run in fixed-size chunks (summed
         # Jacobian partials) to bound the on-device footprint
         self.msm_n = self.d
-        self.msm_chunk_g1 = 8192
-        self.msm_chunk_g2 = 4096
+        self.msm_chunk_g1 = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "8192"))
+        self.msm_chunk_g2 = self.msm_chunk_g1 // 2
+        self.serialize_chunks = bool(
+            int(os.environ.get("ZEROCHAIN_SERIALIZE_CHUNKS", "1"))
+        )
         self.h_pts = self._pad_pts(self.h_pts)
         self.l_pts = self._pad_pts(self.l_pts)
         self.a_pts = self._pad_pts(self.a_pts)
@@ -125,14 +128,19 @@ class ConfidentialProver:
 
     @staticmethod
     def _pad_bits(bits, n):
-        cur = bits.shape[-1]
+        """Pad the point axis (axis 1) of (n_bits, N, B) bits to n."""
+        cur = bits.shape[1]
         if cur >= n:
-            return bits[..., :n]
-        z = jnp.zeros(bits.shape[:-1] + (n - cur,), bits.dtype)
-        return jnp.concatenate([bits, z], axis=-1)
+            return bits[:, :n]
+        z = jnp.zeros(
+            (bits.shape[0], n - cur) + bits.shape[2:], bits.dtype
+        )
+        return jnp.concatenate([bits, z], axis=1)
 
     def _msm_chunked(self, field, pts, bits):
-        """MSM in fixed-size chunks; partial Jacobian sums are added."""
+        """Batched MSM in fixed-size point chunks; the proof-batch axis B
+        rides through every chunk kernel (bits (n_bits, N, B)) and the
+        partial Jacobian sums (leaf batch (B,)) are added."""
         if field is FqOps:
             chunk, msm, addp = self.msm_chunk_g1, self.msm_g1, jg1.add
         else:
@@ -141,12 +149,13 @@ class ConfidentialProver:
         for off in range(0, self.msm_n, chunk):
             part = msm(
                 pip.tmap(lambda a: a[..., off : off + chunk], pts),
-                bits[..., off : off + chunk],
+                bits[:, off : off + chunk],
             )
             acc = part if acc is None else addp(acc, part)
-            # serialize: unbounded async queueing of chunk executions
-            # overlaps their HBM temps and can crash the worker
-            jax.tree_util.tree_leaves(acc)[0].block_until_ready()
+            if self.serialize_chunks:
+                # serialize: unbounded async queueing of chunk executions
+                # overlaps their HBM temps and can crash the worker
+                jax.tree_util.tree_leaves(acc)[0].block_until_ready()
         return acc
 
     @classmethod
@@ -188,6 +197,66 @@ class ConfidentialProver:
             dev(fb1, exps["v"], chunk),
             dev(fb2, exps["v"], chunk_g2),
         )
+        return cls(None, _device_queries=queries, _vk=vk)
+
+    # ------------------------------------------------------------------
+    def save_queries(self, path: str) -> None:
+        """Persist the device CRS queries + vk to an .npz so later runs
+        skip the ~4 min on-device CRS generation (bellman's analogue is
+        Parameters::write, core/proofs/src/confidential.rs:73-103 — here
+        the cache holds raw device limb planes instead of affine bytes)."""
+        from ..groth16.serialization import vk_to_bytes
+
+        flatten = jax.jit(lambda a: a.reshape(-1))
+
+        def fetch(a):
+            # 1-D flatten on device first: 2-D buffers take a pathological
+            # element-wise path through the tunnel (STATUS.md round 1)
+            return np.asarray(flatten(a)).reshape(a.shape)
+
+        def flat(prefix, pts):
+            out = {}
+            for name, comp in zip(("x", "y", "z"), pts):
+                if isinstance(comp, tuple):
+                    out[f"{prefix}_{name}0"] = fetch(comp[0])
+                    out[f"{prefix}_{name}1"] = fetch(comp[1])
+                else:
+                    out[f"{prefix}_{name}"] = fetch(comp)
+            return out
+
+        arrs = {}
+        for prefix, pts in (
+            ("h", self.h_pts), ("l", self.l_pts), ("a", self.a_pts),
+            ("b1", self.b1_pts), ("b2", self.b2_pts),
+        ):
+            arrs.update(flat(prefix, pts))
+        arrs["vk"] = np.frombuffer(vk_to_bytes(self.vk), dtype=np.uint8)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+        os.replace(tmp, path)
+
+    @classmethod
+    def from_cache(cls, path: str) -> "ConfidentialProver":
+        """Load a CRS previously written by save_queries."""
+        from ..groth16.serialization import vk_from_bytes
+
+        with np.load(path) as z:
+            def pt(prefix, g2=False):
+                if g2:
+                    return tuple(
+                        (jnp.asarray(z[f"{prefix}_{n}0"]),
+                         jnp.asarray(z[f"{prefix}_{n}1"]))
+                        for n in ("x", "y", "z")
+                    )
+                return tuple(
+                    jnp.asarray(z[f"{prefix}_{n}"]) for n in ("x", "y", "z")
+                )
+
+            queries = (
+                pt("h"), pt("l"), pt("a"), pt("b1"), pt("b2", g2=True)
+            )
+            vk = vk_from_bytes(z["vk"].tobytes())
         return cls(None, _device_queries=queries, _vk=vk)
 
     # ------------------------------------------------------------------
@@ -279,31 +348,16 @@ class ConfidentialProver:
         wit_bits = pip.limbs_to_bits(wit_canon, 255)  # (255, n_vars, B)
         h_bits = pip.limbs_to_bits(h_canon, 255)
 
-        a_l, b1_l, b2_l, l_l, h_l = [], [], [], [], []
-        for b in range(B):
-            wb = self._pad_bits(wit_bits[:, :, b], self.msm_n)
-            lb = self._pad_bits(wit_bits[:, self.num_inputs :, b], self.msm_n)
-            hb = self._pad_bits(h_bits[:, :, b], self.msm_n)
-            a_l.append(self._msm_chunked(FqOps, self.a_pts, wb))
-            b1_l.append(self._msm_chunked(FqOps, self.b1_pts, wb))
-            b2_l.append(self._msm_chunked(Fq2Ops, self.b2_pts, wb))
-            l_l.append(self._msm_chunked(FqOps, self.l_pts, lb))
-            h_l.append(self._msm_chunked(FqOps, self.h_pts, hb))
-
-        def stack_g1(ps):
-            return tuple(jnp.stack(c, axis=-1) for c in zip(*ps))
-
-        def stack_g2(ps):
-            return tuple(
-                tuple(jnp.stack(cc, axis=-1) for cc in zip(*comp))
-                for comp in zip(*ps)
-            )
-
-        a_acc = stack_g1(a_l)
-        b1_acc = stack_g1(b1_l)
-        l_acc = stack_g1(l_l)
-        h_acc = stack_g1(h_l)
-        b2_acc = stack_g2(b2_l)
+        # all five MSMs carry the whole proof batch B in one kernel pass
+        # (the reference's bellman loops per proof; SURVEY.md §3.2)
+        wb = self._pad_bits(wit_bits, self.msm_n)
+        lb = self._pad_bits(wit_bits[:, self.num_inputs :], self.msm_n)
+        hb = self._pad_bits(h_bits, self.msm_n)
+        a_acc = self._msm_chunked(FqOps, self.a_pts, wb)
+        b1_acc = self._msm_chunked(FqOps, self.b1_pts, wb)
+        b2_acc = self._msm_chunked(Fq2Ops, self.b2_pts, wb)
+        l_acc = self._msm_chunked(FqOps, self.l_pts, lb)
+        h_acc = self._msm_chunked(FqOps, self.h_pts, hb)
 
         if rs is None:
             rs = [
