@@ -19,17 +19,27 @@ import sys
 
 # XLA's CPU compiler recurses deeply on the big witness/MSM graphs; the
 # default 8 MB thread stack segfaults LLVM.  glibc samples RLIMIT_STACK for
-# pthread defaults at process start, so raising it here is only effective
-# after a re-exec.
-_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-if _soft != resource.RLIM_INFINITY and not os.environ.get("_ZC_REEXEC"):
+# pthread defaults at process start, so raising it is only effective after
+# a re-exec — done in pytest_configure below, where pytest's capture
+# manager is available: exec'ing mid-capture would hand the child
+# redirected fds pointing at the dead parent's temp files (all test
+# output silently vanishes), so capture must be suspended first.
+
+
+def pytest_configure(config):
+    soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if soft == resource.RLIM_INFINITY or os.environ.get("_ZC_REEXEC"):
+        return
     try:
-        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
-        os.environ["_ZC_REEXEC"] = "1"
-        os.environ["PYTHONUNBUFFERED"] = "1"
-        os.execv(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]])
+        resource.setrlimit(resource.RLIMIT_STACK, (hard, hard))
     except (ValueError, OSError):
-        pass
+        return
+    os.environ["_ZC_REEXEC"] = "1"
+    os.environ["PYTHONUNBUFFERED"] = "1"
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    os.execv(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]])
 
 import jax
 import pytest

@@ -55,6 +55,53 @@ def test_bad_share_rejected(setup):
         _sign(b"msg", secrets, keys, tweak=1)
 
 
+def test_merlin_golden_vector():
+    """merlin crate's own `equivalence_simple` test vector (merlin-2.0
+    src/transcript.rs tests) — pins byte compatibility of the STROBE-128
+    duplex + Merlin framing with the Rust implementation the reference
+    links (core/multi-reddsa/src/transcript.rs:1-69)."""
+    from zerochain_tpu.protocol.merlin import Transcript, keccak_f1600
+
+    # keccak-f[1600] permutation of the all-zero state (standard vector)
+    out = keccak_f1600([0] * 25)
+    assert out[0] == 0xF1258F7940E1DDE7
+    assert out[1] == 0x84D5CCF933C0478A
+
+    t = Transcript(b"test protocol")
+    t.append_message(b"some label", b"some data")
+    assert t.challenge_bytes(b"challenge", 32).hex() == (
+        "d5a21972d0d5fe320c0d263fac7fffb8145aa640af6e9bca177c03c7efcf0615"
+    )
+
+
+def test_merlin_transcript_rng_deterministic():
+    from zerochain_tpu.protocol.merlin import Transcript
+
+    def mk():
+        t = Transcript(b"witness test")
+        t.append_message(b"msg", b"hello")
+        return (t.build_rng()
+                .rekey_with_witness_bytes(b"w", b"\x01" * 32)
+                .finalize(b"\x42" * 32))
+
+    a, b = mk(), mk()
+    x = a.fill_bytes(32)
+    assert x == b.fill_bytes(32)
+    assert a.fill_bytes(32) != x  # stream advances
+
+
+def test_commitment_uses_merlin(setup):
+    """Commitment::from_R parity shape: transcript "R-commitment", point
+    under empty label, 32 bytes under "commitment"."""
+    from zerochain_tpu.protocol.merlin import Transcript
+    from zerochain_tpu.protocol.multi_reddsa import _commitment, commit_point
+
+    R = jj.mul(jj.generator(DEFAULT_BASE), 7)
+    t = Transcript(b"R-commitment")
+    commit_point(t, b"", R)
+    assert _commitment(R) == t.challenge_bytes(b"commitment", 32)
+
+
 def test_commitment_mismatch_rejected(setup):
     secrets, keys = setup
     msg = b"msg"

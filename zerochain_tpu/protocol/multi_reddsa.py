@@ -7,19 +7,20 @@ s_i*G == R_i + c*a_i*X_i; the aggregate (R, s) verifies like a plain
 RedDSA signature against X_bar with c = H*(X_bar || R, m)
 (mr_pubkey.rs:12-45).
 
-The reference's nonce commitment runs through a Merlin (STROBE) transcript;
-here it is a domain-separated BLAKE2b hash — an in-session exchange format
-only (the aggregated signatures themselves are fully compatible).
+The nonce commitment runs through a byte-exact Merlin (STROBE-128)
+transcript matching the reference's merlin crate usage
+(commitment.rs:16-22 `Commitment::from_R`; transcript.rs:17-23
+`commit_point`), so commitment bytes interchange with Rust cosigners.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 from dataclasses import dataclass
 
 from ..mirror import jubjub as jj
 from ..mirror.field import S
+from .merlin import Transcript
 from .redjubjub import Signature, h_star
 
 DEFAULT_BASE = jj.NOTE_COMMITMENT_RANDOMNESS  # "Diversifier" upstream
@@ -29,10 +30,51 @@ class MultiSigError(Exception):
     pass
 
 
+def commit_point(t: Transcript, label: bytes, point) -> None:
+    """TranscriptProtocol::commit_point (transcript.rs:17-23): append the
+    32-byte Edwards encoding under `label`."""
+    t.append_message(label, jj.to_bytes(point))
+
+
+def commit_scalar(t: Transcript, label: bytes, scalar: int) -> None:
+    """TranscriptProtocol::commit_scalar (transcript.rs:25-31): 32-byte
+    little-endian scalar repr under `label`."""
+    t.append_message(label, int(scalar).to_bytes(32, "little"))
+
+
+def challenge_scalar(t: Transcript) -> int:
+    """TranscriptProtocol::challenge_scalar (transcript.rs:33-44):
+    rejection-sample 32 challenge bytes (label b"read", big-endian repr)
+    until the value lies in Fs."""
+    while True:
+        buf = t.challenge_bytes(b"read", 32)
+        v = int.from_bytes(buf, "big")
+        if v < S:
+            return v
+
+
+def witness_scalar(t: Transcript, label: bytes, witness: int,
+                   entropy: bytes | None = None) -> int:
+    """TranscriptProtocol::witness_scalar (transcript.rs:47-67): fork the
+    transcript into an RNG rekeyed with the witness bytes, then
+    rejection-sample an Fs element.  Deterministic iff `entropy` given."""
+    rng = (t.build_rng()
+           .rekey_with_witness_bytes(label, int(witness).to_bytes(32, "little"))
+           .finalize(entropy))
+    while True:
+        buf = rng.fill_bytes(32)
+        v = int.from_bytes(buf, "big")
+        if v < S:
+            return v
+
+
 def _commitment(R) -> bytes:
-    h = hashlib.blake2b(digest_size=32, person=b"R-commitmnt")
-    h.update(jj.to_bytes(R))
-    return h.digest()
+    """Commitment::from_R (commitment.rs:16-22), byte-compatible with the
+    reference: Merlin transcript "R-commitment", point under empty label,
+    32 challenge bytes under "commitment"."""
+    t = Transcript(b"R-commitment")
+    commit_point(t, b"", R)
+    return t.challenge_bytes(b"commitment", 32)
 
 
 @dataclass(frozen=True)

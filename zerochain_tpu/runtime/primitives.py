@@ -22,12 +22,22 @@ class PrimitiveError(ValueError):
 
 @dataclass(frozen=True)
 class _Point32:
-    """32-byte Jubjub point encoding."""
+    """32-byte Jubjub point encoding.
+
+    SCALE wire format: fixed-hash H256 — raw 32 bytes, no length prefix
+    (core/primitives/src/enc_key.rs:43-52)."""
 
     data: bytes
 
     def __post_init__(self):
         assert len(self.data) == 32
+
+    def encode(self) -> bytes:
+        return self.data
+
+    @classmethod
+    def decode(cls, data: bytes, offset: int = 0):
+        return cls(bytes(data[offset:offset + 32])), offset + 32
 
     @classmethod
     def from_point(cls, p):
@@ -78,12 +88,27 @@ class SigVerificationKey(_Point32):
 
 @dataclass(frozen=True)
 class CiphertextBytes:
-    """64-byte stored ciphertext: left || right (ciphertext.rs)."""
+    """64-byte stored ciphertext: left || right (ciphertext.rs).
+
+    SCALE wire format: Vec<u8> — compact length + bytes
+    (core/primitives/src/ciphertext.rs:14-16)."""
 
     data: bytes
 
     def __post_init__(self):
         assert len(self.data) == 64
+
+    def encode(self) -> bytes:
+        from . import scale
+
+        return scale.encode_bytes(self.data)
+
+    @classmethod
+    def decode(cls, data: bytes, offset: int = 0):
+        from . import scale
+
+        raw, offset = scale.decode_bytes(data, offset)
+        return cls(raw), offset
 
     @classmethod
     def zero(cls):
@@ -121,9 +146,24 @@ class CiphertextBytes:
 
 @dataclass(frozen=True)
 class ProofBytes:
-    """192-byte compressed Groth16 proof."""
+    """192-byte compressed Groth16 proof.
+
+    SCALE wire format: Vec<u8> — compact length + bytes
+    (core/primitives/src/proof.rs:12-14)."""
 
     data: bytes
 
     def __post_init__(self):
         assert len(self.data) == 192
+
+    def encode(self) -> bytes:
+        from . import scale
+
+        return scale.encode_bytes(self.data)
+
+    @classmethod
+    def decode(cls, data: bytes, offset: int = 0):
+        from . import scale
+
+        raw, offset = scale.decode_bytes(data, offset)
+        return cls(raw), offset
