@@ -70,7 +70,14 @@ def test_wallet_lifecycle(tmp_path):
     w = Wallet(tmp_path / "w1")
     phrase = w.init(b"pw", seed=b"deterministic wallet seed 123456",
                     iterations=64)
-    assert phrase == b"deterministic wallet seed 123456".hex()
+    # recovery phrase is a valid 12-word BIP39 mnemonic derived from the
+    # first 16 bytes of the supplied seed entropy
+    from zerochain_tpu.wallet import bip39
+
+    assert len(phrase.split()) == 12
+    assert bip39.validate(phrase)
+    assert bip39.mnemonic_to_entropy(phrase) == \
+        b"deterministic wallet seed 123456"[:16]
     addr1 = w.add_account("alice", b"pw", iterations=64)
     addr2 = w.add_account("bob", b"pw", iterations=64)
     assert addr1 != addr2
@@ -97,3 +104,79 @@ def test_ss58_roundtrip():
     assert decode_ss58(addr) == key
     with pytest.raises(ValueError):
         decode_ss58(addr[:-1] + ("1" if addr[-1] != "1" else "2"))
+
+
+# ---------------------------------------------------------------------------
+# BIP39 (vendored English wordlist; reference wallet uses the bip39 crate,
+# zface/src/wallet/commands.rs:29-37)
+# ---------------------------------------------------------------------------
+
+# published trezor BIP39 test vectors (entropy -> English mnemonic)
+BIP39_VECTORS = [
+    ("00000000000000000000000000000000",
+     "abandon abandon abandon abandon abandon abandon abandon abandon "
+     "abandon abandon abandon about"),
+    ("7f7f7f7f7f7f7f7f7f7f7f7f7f7f7f7f",
+     "legal winner thank year wave sausage worth useful legal winner "
+     "thank yellow"),
+    ("80808080808080808080808080808080",
+     "letter advice cage absurd amount doctor acoustic avoid letter "
+     "advice cage above"),
+    ("ffffffffffffffffffffffffffffffff",
+     "zoo zoo zoo zoo zoo zoo zoo zoo zoo zoo zoo wrong"),
+    ("9e885d952ad362caeb4efe34a8e91bd2",
+     "ozone drill grab fiber curtain grace pudding thank cruise elder "
+     "eight picnic"),
+    ("23db8160a31d3e0dca3688ed941adbf3",
+     "cat swing flag economy stadium alone churn speed unique patch "
+     "report train"),
+    ("f30f8c1da665478f49b001d94c5fc452",
+     "vessel ladder alter error federal sibling chat ability sun glass "
+     "valve picture"),
+]
+
+
+def test_bip39_wordlist_structure():
+    from zerochain_tpu.wallet.bip39_words import WORDLIST
+
+    assert len(WORDLIST) == 2048
+    assert list(WORDLIST) == sorted(WORDLIST)
+    assert len({w[:4] for w in WORDLIST}) == 2048  # unique 4-char prefixes
+
+
+def test_bip39_trezor_vectors():
+    from zerochain_tpu.wallet import bip39
+
+    for ent_hex, phrase in BIP39_VECTORS:
+        assert bip39.entropy_to_mnemonic(bytes.fromhex(ent_hex)) == phrase
+        assert bip39.mnemonic_to_entropy(phrase).hex() == ent_hex
+    # published seed for the all-zero vector with passphrase "TREZOR"
+    seed = bip39.to_seed(BIP39_VECTORS[0][1], "TREZOR")
+    assert seed.hex().startswith("c55257c360c07c72029aebc1b53c05ed")
+
+
+def test_bip39_checksum_rejection():
+    import pytest
+
+    from zerochain_tpu.wallet import bip39
+
+    good = BIP39_VECTORS[4][1].split()
+    bad = " ".join(good[:-1] + ["abandon"])  # breaks the checksum
+    assert not bip39.validate(bad)
+    with pytest.raises(bip39.MnemonicError):
+        bip39.mnemonic_to_entropy(bad)
+    with pytest.raises(bip39.MnemonicError):
+        bip39.mnemonic_to_entropy("definitely notaword " * 6)
+
+
+def test_wallet_recover_from_mnemonic(tmp_path):
+    from zerochain_tpu.wallet import bip39
+
+    w = Wallet(tmp_path / "m1")
+    phrase = w.init(b"pw", iterations=64)
+    assert bip39.validate(phrase)
+    sk = w.spending_key(b"pw", "default")
+
+    w2 = Wallet(tmp_path / "m2")
+    w2.recover(b"pw2", phrase, iterations=64)
+    assert w2.spending_key(b"pw2", "default") == sk

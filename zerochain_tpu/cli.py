@@ -65,7 +65,8 @@ def cmd_wallet_init(args):
 
     w = Wallet(args.wallet)
     phrase = w.init(args.password.encode())
-    print("wallet initialized; RECOVERY PHRASE (hex seed), store it safely:")
+    print("wallet initialized; RECOVERY PHRASE (12-word BIP39 mnemonic), "
+          "store it safely:")
     print(phrase)
 
 

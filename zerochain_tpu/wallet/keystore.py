@@ -5,9 +5,10 @@ index file tracking the default account, exactly like zface's disk layout;
 keyfiles encrypt the ExtendedSpendingKey with PBKDF2 + AES-128-CTR and a
 keccak256 MAC (keyfile.rs:108-157).
 
-The reference's BIP39 mnemonic recovery depends on the external bip39
-wordlist; here the recovery phrase is the hex-encoded master seed (the
-derivation tree is identical given the seed).
+Recovery uses a 12-word BIP39 English mnemonic exactly like the
+reference (zface/src/wallet/commands.rs:29-37, 130-139); the wordlist is
+vendored in bip39_words.py.  Hex-seed phrases from pre-BIP39 wallets
+remain accepted by `recover`.
 """
 
 from __future__ import annotations
@@ -111,12 +112,46 @@ class Wallet:
 
     # -- operations -----------------------------------------------------
     def init(self, password: bytes, seed: bytes | None = None,
-             iterations: int = DEFAULT_ITERATIONS) -> str:
-        """Create the master + first account; returns the recovery phrase."""
+             iterations: int = DEFAULT_ITERATIONS,
+             mnemonic: str | None = None) -> str:
+        """Create the master + first account; returns the 12-word BIP39
+        recovery phrase (reference zface/src/wallet/commands.rs:29-37:
+        `Mnemonic::new(Words12, English)` + `Seed::new(&mnemonic, "")`)."""
+        from . import bip39
+
         if self._index_path.exists():
             raise KeystoreError("wallet already initialized")
-        if seed is None:
-            seed = os.urandom(32)
+        if mnemonic is None:
+            mnemonic = (bip39.generate(12) if seed is None
+                        else bip39.entropy_to_mnemonic(seed[:16]))
+        master_seed = bip39.to_seed(mnemonic)
+        master = ExtendedSpendingKey.master(master_seed)
+        kf = KeyFile.create("__master__", password, master, iterations)
+        self._keyfile_path("__master__").write_text(kf.to_json())
+        self._index_path.write_text(
+            json.dumps(dict(default_account=None, accounts=[], next_index=0))
+        )
+        self.add_account("default", password, iterations)
+        return mnemonic
+
+    def recover(self, password: bytes, recovery_phrase: str,
+                iterations: int = DEFAULT_ITERATIONS) -> None:
+        """Rebuild the wallet from its 12-word mnemonic
+        (commands.rs:130-139).  Legacy hex-seed phrases from earlier
+        wallets are still accepted."""
+        from . import bip39
+
+        if bip39.validate(recovery_phrase):
+            self.init(password, iterations=iterations,
+                      mnemonic=recovery_phrase)
+            return
+        try:
+            seed = bytes.fromhex(recovery_phrase)
+        except ValueError:
+            raise KeystoreError("invalid recovery phrase") from None
+        # legacy path: derive straight from the raw seed bytes
+        if self._index_path.exists():
+            raise KeystoreError("wallet already initialized")
         master = ExtendedSpendingKey.master(seed)
         kf = KeyFile.create("__master__", password, master, iterations)
         self._keyfile_path("__master__").write_text(kf.to_json())
@@ -124,11 +159,6 @@ class Wallet:
             json.dumps(dict(default_account=None, accounts=[], next_index=0))
         )
         self.add_account("default", password, iterations)
-        return seed.hex()
-
-    def recover(self, password: bytes, recovery_phrase: str,
-                iterations: int = DEFAULT_ITERATIONS) -> None:
-        self.init(password, bytes.fromhex(recovery_phrase), iterations)
 
     def _master(self, password: bytes) -> ExtendedSpendingKey:
         kf = KeyFile.from_json(self._keyfile_path("__master__").read_text())
