@@ -41,7 +41,7 @@ class FqOps:
 
     @staticmethod
     def sqr(a):
-        return L.mont_mul(FQ, a, a)
+        return L.mont_sqr(FQ, a)
 
     @staticmethod
     def is_zero(a):

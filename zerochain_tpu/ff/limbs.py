@@ -95,12 +95,56 @@ FS = FieldSpec("Fs", mf.S, 22)   # R = 2^264 (2^252 would drop add carries)
 # carry resolution
 # ---------------------------------------------------------------------
 
+def _compact_graphs() -> bool:
+    """Trace-time choice: compile-compact lax.scan carry ripples off-TPU.
+
+    The parallel (Kogge–Stone) associative_scan unrolls to ~300 jaxpr eqns
+    per carry resolution — fine on TPU (and mostly bypassed by the Pallas
+    kernels there), but XLA:CPU's LLVM backend chokes on the resulting
+    100k-eqn curve/pairing modules (tens of minutes per compile).  A
+    sequential lax.scan body is 10 eqns and the same exact math."""
+    if _COMPACT_ENV in ("0", "1"):
+        return _COMPACT_ENV == "1"
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # noqa: BLE001
+        return True
+
+
+_COMPACT_ENV = __import__("os").environ.get("ZEROCHAIN_COMPACT_GRAPHS", "")
+
+
+def _ripple_carry_scan(v):
+    """Sequential-carry twin of _gp_carry_scan (lax.scan over limbs)."""
+
+    def step(c, limb):
+        s = limb + c
+        return s >> LIMB_BITS, s & LIMB_MASK
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(v[0]), v)
+    return out
+
+
+def _ripple_borrow_scan(d):
+    """Sequential-borrow twin of _borrow_scan."""
+
+    def step(b, limb):
+        s = limb - b
+        borrow = (s < 0).astype(jnp.int32)
+        return borrow, s + (borrow << LIMB_BITS)
+
+    borrow_out, out = jax.lax.scan(step, jnp.zeros_like(d[0]), d)
+    return out, borrow_out
+
+
 def _gp_carry_scan(v):
     """Exact carry resolution for limbs in [0, 2^12] (carry ∈ {0,1}).
 
     Returns fully normalized limbs in [0, 2^12); drops the final carry-out
     (callers guarantee none, or handle it via an extra limb).
     """
+    if _compact_graphs():
+        return _ripple_carry_scan(v)
     g = (v > LIMB_MASK).astype(jnp.int32)   # generates a carry
     pr = (v == LIMB_MASK).astype(jnp.int32)  # propagates an incoming carry
 
@@ -134,6 +178,8 @@ def _borrow_scan(d):
     """Resolve borrows for limb-wise differences d in [-2^12, 2^12).
 
     Returns (normalized limbs, borrow_out ∈ {0,1})."""
+    if _compact_graphs():
+        return _ripple_borrow_scan(d)
     g = (d < 0).astype(jnp.int32)
     pr = (d == 0).astype(jnp.int32)
 
@@ -174,6 +220,10 @@ def cond_sub_p(spec: FieldSpec, a):
 
 
 def add(spec: FieldSpec, a, b):
+    from . import pallas_ff
+
+    if pallas_ff.use_pallas(a.shape, b.shape):
+        return pallas_ff.add(spec, a, b)
     t = _gp_carry_scan(a + b)  # limbs ≤ 2·mask → carries ∈ {0,1}
     # NOTE: a+b < 2p ≤ 2^(12n+1); carry out of the top limb cannot occur
     # because p < R/2 for all our specs (checked in tests).
@@ -181,6 +231,10 @@ def add(spec: FieldSpec, a, b):
 
 
 def sub(spec: FieldSpec, a, b):
+    from . import pallas_ff
+
+    if pallas_ff.use_pallas(a.shape, b.shape):
+        return pallas_ff.sub(spec, a, b)
     d, borrow = _borrow_scan(a - b)
     # if borrowed, result is a - b + R; add p to wrap into [0, p)
     dp = _gp_carry_scan(d + _p_arr(spec, d))
@@ -230,14 +284,22 @@ def _school_mul(a, b, n: int):
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product aR·bR -> abR (canonical in, canonical out).
 
-    Parallel REDC with three schoolbook products (no sequential per-limb
-    carry chain — the whole reduction is carry-scan depth, which maps far
-    better onto the VPU than the reference's word-serial CIOS, fq.rs:915):
+    Hot path: one fused Pallas kernel (ff/pallas_ff.py) holding the whole
+    REDC in VMEM — used on TPU for batches past the tile threshold.
+
+    Fallback (CPU tests, tiny batches): parallel REDC with three schoolbook
+    products (no sequential per-limb carry chain — the whole reduction is
+    carry-scan depth, which maps far better onto the VPU than the
+    reference's word-serial CIOS, fq.rs:915):
 
         T = a*b;  m = (T mod R) * p' mod R;  res = (T + m*p) / R
 
     where p' = -p^-1 mod R.  The low n limbs of T + m*p vanish exactly, so
     the division is a limb shift."""
+    from . import pallas_ff
+
+    if pallas_ff.use_pallas(a.shape, b.shape):
+        return pallas_ff.mont_mul(spec, a, b)
     n = spec.n
     t = _school_mul(a, b, n)  # (2n, ...), limbs < 2^29
     t = normalize(t, bound=1 << 29)
@@ -274,6 +336,10 @@ def _pprime_arr(spec: FieldSpec, ndim: int):
 
 
 def mont_sqr(spec: FieldSpec, a):
+    from . import pallas_ff
+
+    if pallas_ff.use_pallas(a.shape):
+        return pallas_ff.mont_sqr(spec, a)
     return mont_mul(spec, a, a)
 
 
