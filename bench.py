@@ -108,10 +108,42 @@ def _assignments(n):
     return out
 
 
+def _kernel_microbench():
+    """Pallas fused-REDC field-mul throughput (round-1 XLA path: ~2.3M/s)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zerochain_tpu.ff import limbs as L
+    from zerochain_tpu.ff import pallas_ff as P
+
+    out = {}
+    B = 1 << 20
+    rng = np.random.RandomState(0)
+    for spec, name in ((L.FQ, "fq"), (L.FR, "fr")):
+        a = jnp.asarray(rng.randint(0, 1 << 12, (spec.n, B)), jnp.int32)
+        b = jnp.asarray(rng.randint(0, 1 << 12, (spec.n, B)), jnp.int32)
+        acc = P.mont_mul(spec, a, b)
+        acc.block_until_ready()
+        t0 = time.time()
+        iters = 10
+        for _ in range(iters):
+            acc = P.mont_mul(spec, acc, b)
+        acc.block_until_ready()
+        out[f"{name}_mul_per_sec"] = round(iters * B / (time.time() - t0))
+    return out
+
+
 def main():
     _setup_jax()
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    kernels = {}
+    try:
+        kernels = _kernel_microbench()
+        print(f"# kernel microbench: {kernels}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — microbench must not eat the run
+        print(f"# kernel microbench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     prover = _get_prover()
     assignments = _assignments(batch)
 
@@ -137,6 +169,7 @@ def main():
                 "vs_baseline": round(pps / BASELINE_PROOFS_PER_SEC, 4),
                 "batch": batch,
                 "steady_state_secs": round(dt, 2),
+                **kernels,
             }
         ),
         flush=True,

@@ -76,49 +76,111 @@ def digits_from_bits(bits: jnp.ndarray, c: int, n_windows: int) -> jnp.ndarray:
     return jnp.sum(w * weights, axis=1)
 
 
+def _tree_sum(F, pts, axis_size):
+    """Pairwise tree reduction of a point batch over its last axis."""
+    n = axis_size
+    pad = 1 << max(0, (n - 1).bit_length())
+    if pad != n:
+        ident = W.identity(F, (pad - n,))
+        pts = jax.tree.map(
+            lambda x, i: jnp.concatenate(
+                [x, jnp.broadcast_to(i, x.shape[:-1] + (pad - n,))], axis=-1
+            ),
+            pts, ident,
+        )
+        n = pad
+    while n > 1:
+        half = n // 2
+        a = tmap(lambda x: x[..., :half], pts)
+        b = tmap(lambda x: x[..., half:n], pts)
+        pts = W.add(F, a, b)
+        n = half
+    return tmap(lambda x: x[..., 0], pts)
+
+
 class Msm:
     """Variable-base MSM over one Weierstrass group (G1 or G2)."""
 
-    def __init__(self, field, c: int | None = None, n_bits: int = 255):
+    def __init__(self, field, c: int | None = None, n_bits: int = 255,
+                 window_group: int | None = None, mode: str | None = None):
         self.F = field
         self.c = WINDOW_C if c is None else c
         self.n_bits = n_bits
         self.n_windows = -(-n_bits // self.c)
+        self.window_group = (
+            int(_os.environ.get("ZEROCHAIN_MSM_WG", "4"))
+            if window_group is None else window_group
+        )
+        # 'assoc': work-efficient associative_scan segmented sum (~2N adds
+        # per window) — inlines ~20 point-add graphs, fine on TPU where the
+        # Pallas kernels collapse each add to a handful of HLOs.
+        # 'hs': Hillis–Steele lax.scan (N·log N adds but ONE add graph) —
+        # for XLA:CPU, whose compile time explodes on the inlined copies.
+        if mode is None:
+            mode = _os.environ.get("ZEROCHAIN_MSM_SCAN", "")
+        if not mode:
+            try:
+                mode = "assoc" if jax.default_backend() == "tpu" else "hs"
+            except Exception:  # noqa: BLE001
+                mode = "hs"
+        self.mode = mode
         self._jit = jax.jit(self._impl)
 
     def _window_total(self, points_jac, keys):
-        """Bucket-accumulate one window; returns a single Jacobian point."""
+        """Bucket-accumulate one window; returns a single Jacobian point.
+
+        Work-efficient: sort by digit, then an ``associative_scan`` with the
+        lifted segmented-add operator (~2N point-adds instead of the N·log N
+        of a Hillis–Steele formulation), then a suffix-scan bucket fold
+        (two parallel passes over the 2^c buckets instead of 2·2^c
+        sequential adds).  The reference's bellman fork fans buckets across
+        CPU threads with scalar adds (SURVEY.md §2.3); none of that maps to
+        the VPU, this does."""
         F = self.F
-        n = keys.shape[0]
         order = jnp.argsort(keys)
         keys_s = jnp.take(keys, order)
         pts_s = tmap(lambda a: jnp.take(a, order, axis=-1), points_jac)
 
-        # segmented inclusive prefix-sum, Hillis-Steele formulation: a
-        # lax.scan over log2(N) levels whose body holds ONE point-add, so
-        # the graph stays compact (associative_scan would inline an add
-        # per level).
         starts = jnp.concatenate(
             [jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]
         )
-        pos = jnp.arange(n)
-        n_levels = max(1, (n - 1).bit_length())
-        shifts = jnp.asarray([1 << d for d in range(n_levels)], jnp.int32)
 
-        def level(carry, s):
-            x, f = carry
-            xl = tmap(lambda a: jnp.roll(a, s, axis=-1), x)
-            fl = jnp.roll(f, s)
-            merged = W.add(F, xl, x)
-            cand = W.select(F, f, x, merged)  # segment start: keep x
-            f_new = jnp.logical_or(f, fl)
-            keep = pos < s  # no left neighbour at distance s
-            out = W.select(F, keep, x, cand)
-            f_out = jnp.where(keep, f, f_new)
-            return (out, f_out), None
+        if self.mode == "assoc":
+            flags = starts[None, :]  # (1, N): rides like a limb plane
 
-        (prefix, _), _ = jax.lax.scan(level, (pts_s, starts), shifts)
-        ends = jnp.concatenate([keys_s[1:] != keys_s[:-1], jnp.ones((1,), bool)])
+            def seg_op(left, right):
+                (pl_, fl_), (pr_, fr_) = left, right
+                merged = W.add(F, pl_, pr_)
+                pt = W.select(F, fr_[0], pr_, merged)
+                return (pt, jnp.logical_or(fl_, fr_))
+
+            prefix, _ = jax.lax.associative_scan(
+                seg_op, (pts_s, flags), axis=1
+            )
+        else:
+            # Hillis–Steele: log2(N) levels through ONE point-add graph
+            n = keys.shape[0]
+            pos = jnp.arange(n)
+            n_levels = max(1, (n - 1).bit_length())
+            shifts = jnp.asarray([1 << d for d in range(n_levels)], jnp.int32)
+
+            def level(carry, s):
+                x, f = carry
+                xl = tmap(lambda a: jnp.roll(a, s, axis=-1), x)
+                fl = jnp.roll(f, s)
+                merged = W.add(F, xl, x)
+                cand = W.select(F, f, x, merged)  # segment start: keep x
+                f_new = jnp.logical_or(f, fl)
+                keep = pos < s  # no left neighbour at distance s
+                out = W.select(F, keep, x, cand)
+                f_out = jnp.where(keep, f, f_new)
+                return (out, f_out), None
+
+            (prefix, _), _ = jax.lax.scan(level, (pts_s, starts), shifts)
+
+        ends = jnp.concatenate(
+            [keys_s[1:] != keys_s[:-1], jnp.ones((1,), bool)]
+        )
 
         # scatter segment sums into 2^c buckets (masked -> dummy slot)
         nb = 1 << self.c
@@ -136,7 +198,14 @@ class Msm:
             for dc, sc in zip(W.identity(F, (nb,)), prefix)
         )
 
-        # running-sum fold over buckets nb-1 .. 1
+        if self.mode == "assoc":
+            # Σ_v v·B_v = Σ_{v≥1} suffix_v where suffix_v = Σ_{u≥v} B_u
+            suffix = jax.lax.associative_scan(
+                lambda x, y: W.add(F, x, y), buckets, axis=1, reverse=True
+            )
+            return _tree_sum(F, tmap(lambda a: a[..., 1:], suffix), nb - 1)
+
+        # running-sum fold over buckets nb-1 .. 1 (one compact lax.scan)
         def step(carry, i):
             running, total = carry
             b = tmap(lambda a: a[..., i], buckets)
@@ -153,10 +222,35 @@ class Msm:
         F = self.F
         digits = digits_from_bits(bits, self.c, self.n_windows)
 
-        def body(_, keys):
-            return None, self._window_total(points_jac, keys)
+        # Proof-batch axes after the point axis (bits (n_bits, N, *B)):
+        # vmap the per-window bucket accumulation over them with the point
+        # set broadcast, so one kernel pass serves the whole proof batch.
+        wt = self._window_total
+        for _ in range(digits.ndim - 2):
+            wt = jax.vmap(wt, in_axes=(None, -1), out_axes=-1)
 
-        _, totals = jax.lax.scan(body, None, digits)  # leaves: (nw, ...)
+        # window groups: vectorize `wg` windows through one scan step
+        # (wider kernels, fewer dispatches) without materializing all
+        # n_windows sorted point copies at once
+        wg = max(1, min(self.window_group, self.n_windows))
+        wtg = jax.vmap(wt, in_axes=(None, 0), out_axes=0)
+        nw_pad = -(-self.n_windows // wg) * wg
+        if nw_pad != self.n_windows:  # zero digits -> identity totals
+            digits = jnp.concatenate(
+                [digits,
+                 jnp.zeros((nw_pad - self.n_windows, *digits.shape[1:]),
+                           digits.dtype)],
+                axis=0,
+            )
+        groups = digits.reshape(nw_pad // wg, wg, *digits.shape[1:])
+
+        def body(_, keys_g):
+            return None, wtg(points_jac, keys_g)
+
+        _, totals = jax.lax.scan(body, None, groups)  # leaves (ng, wg, ...)
+        totals = jax.tree.map(
+            lambda a: a.reshape(nw_pad, *a.shape[2:]), totals
+        )
 
         # combine windows MSB-first: res = 2^c * res + T_w (scan, compact)
         def comb(res, tw):

@@ -23,6 +23,7 @@ from ..ff import limbs as L
 from ..groth16 import domain as dom
 from ..groth16.core import Parameters, Proof, _pad_input_constraints
 from ..mirror.field import Q, R
+from ..models.anonymous import AnonymousTransfer
 from ..models.confidential import ConfidentialTransfer
 from ..msm import pippenger as pip
 from ..ntt import plan_for
@@ -59,12 +60,22 @@ def _np_g2(p):
 
 
 class ConfidentialProver:
-    """Holds device-resident CRS + compiled kernels for batched proving."""
+    """Holds device-resident CRS + compiled kernels for batched proving.
+
+    Subclasses rebind CIRCUIT/_witness_fns to prove other fixed circuits
+    (AnonymousProver below) — the pipeline itself is circuit-agnostic."""
+
+    CIRCUIT = ConfidentialTransfer
+
+    @staticmethod
+    def _witness_fns():
+        """-> (witness_inputs_host, witness_jit) for this circuit."""
+        return wit.witness_inputs_host, wit.confidential_witness_jit
 
     def __init__(self, params: Parameters | None, _device_queries=None,
                  _vk=None):
         cs = ConstraintSystem(track_names=False)
-        ConfidentialTransfer().synthesize(cs)
+        self.CIRCUIT().synthesize(cs)
         _pad_input_constraints(cs)
         self.matrices = ConstraintMatrices(cs, cs.num_inputs)
         self.num_inputs = cs.num_inputs
@@ -77,18 +88,20 @@ class ConfidentialProver:
             vk = _vk
             self.params = None
             self.vk = vk
-            (self.h_pts, self.l_pts, self.a_pts, self.b1_pts,
-             self.b2_pts) = _device_queries
+            raw = _device_queries
         else:
             self.params = params
             vk = params.vk
             self.vk = vk
             # device-resident CRS queries (None -> infinity, Z=0)
-            self.h_pts = jg1.from_affine_host(params.h)
-            self.l_pts = jg1.from_affine_host(params.l)
-            self.a_pts = jg1.from_affine_host(params.a)
-            self.b1_pts = jg1.from_affine_host(params.b_g1)
-            self.b2_pts = jg2.from_affine_host(params.b_g2)
+            raw = (
+                jg1.from_affine_host(params.h),
+                jg1.from_affine_host(params.l),
+                jg1.from_affine_host(params.a),
+                jg1.from_affine_host(params.b_g1),
+                jg2.from_affine_host(params.b_g2),
+            )
+        self._raw_queries = raw  # pre-gather, for save_queries
 
         # numpy (host) constants: embed at lowering without device fetches
         self.alpha_g1 = _np_g1(vk.alpha_g1)
@@ -97,34 +110,49 @@ class ConfidentialProver:
         self.beta_g2 = _np_g2(vk.beta_g2)
         self.delta_g2 = _np_g2(vk.delta_g2)
 
-        # pad every MSM to one size so exactly one G1 + one G2 kernel
-        # shape is ever compiled; MSMs run in fixed-size chunks (summed
-        # Jacobian partials) to bound the on-device footprint
-        self.msm_n = self.d
+        # Density prefiltering (bellman's density-tracker equivalent): a
+        # CRS query point is infinity exactly when the variable never
+        # appears in that matrix's LCs, so those columns are dropped
+        # statically and each MSM runs at its true dense size.
+        self.a_cols = np.unique(self.matrices.mats[0][1])
+        self.b_cols = np.unique(self.matrices.mats[1][1])
+
         self.msm_chunk_g1 = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "8192"))
         self.msm_chunk_g2 = self.msm_chunk_g1 // 2
         self.serialize_chunks = bool(
             int(os.environ.get("ZEROCHAIN_SERIALIZE_CHUNKS", "1"))
         )
-        self.h_pts = self._pad_pts(self.h_pts)
-        self.l_pts = self._pad_pts(self.l_pts)
-        self.a_pts = self._pad_pts(self.a_pts)
-        self.b1_pts = self._pad_pts(self.b1_pts)
-        self.b2_pts = self._pad_pts(self.b2_pts)
+        h_raw, l_raw, a_raw, b1_raw, b2_raw = raw
+        self.h_pts, self.size_h = self._prep(h_raw, None, self.d,
+                                             self.msm_chunk_g1)
+        self.l_pts, self.size_l = self._prep(l_raw, None, self.num_aux,
+                                             self.msm_chunk_g1)
+        self.a_pts, self.size_a = self._prep(a_raw, self.a_cols, None,
+                                             self.msm_chunk_g1)
+        self.b1_pts, self.size_b1 = self._prep(b1_raw, self.b_cols, None,
+                                               self.msm_chunk_g1)
+        self.b2_pts, self.size_b2 = self._prep(b2_raw, self.b_cols, None,
+                                               self.msm_chunk_g2)
 
         self.msm_g1 = pip.Msm(FqOps)
         self.msm_g2 = pip.Msm(Fq2Ops)
         self._assemble = jax.jit(self._assemble_impl)
 
-    def _pad_pts(self, pts):
+    def _prep(self, pts, cols, n, chunk):
+        """Gather dense columns, pad to a chunk multiple; -> (pts, size)."""
+        if cols is not None:
+            pts = pip.tmap(lambda a: jnp.take(a, cols, axis=-1), pts)
+            n = len(cols)
+        size = -(-n // chunk) * chunk
+
         def pad(a):
-            n = a.shape[-1]
-            if n >= self.msm_n:
-                return a[..., : self.msm_n]
-            z = jnp.zeros(a.shape[:-1] + (self.msm_n - n,), a.dtype)
+            cur = a.shape[-1]
+            if cur >= size:
+                return a[..., :size]
+            z = jnp.zeros(a.shape[:-1] + (size - cur,), a.dtype)
             return jnp.concatenate([a, z], axis=-1)
 
-        return pip.tmap(pad, pts)
+        return pip.tmap(pad, pts), size
 
     @staticmethod
     def _pad_bits(bits, n):
@@ -137,7 +165,7 @@ class ConfidentialProver:
         )
         return jnp.concatenate([bits, z], axis=1)
 
-    def _msm_chunked(self, field, pts, bits):
+    def _msm_chunked(self, field, pts, bits, size):
         """Batched MSM in fixed-size point chunks; the proof-batch axis B
         rides through every chunk kernel (bits (n_bits, N, B)) and the
         partial Jacobian sums (leaf batch (B,)) are added."""
@@ -146,7 +174,7 @@ class ConfidentialProver:
         else:
             chunk, msm, addp = self.msm_chunk_g2, self.msm_g2, jg2.add
         acc = None
-        for off in range(0, self.msm_n, chunk):
+        for off in range(0, size, chunk):
             part = msm(
                 pip.tmap(lambda a: a[..., off : off + chunk], pts),
                 bits[:, off : off + chunk],
@@ -169,7 +197,7 @@ class ConfidentialProver:
         from ..mirror import curves as cv
 
         exps = crs_exponents(
-            ConfidentialTransfer(), tau, alpha, beta, gamma, delta
+            cls.CIRCUIT(), tau, alpha, beta, gamma, delta
         )
         vk = vk_from_exponents(exps)
 
@@ -224,10 +252,11 @@ class ConfidentialProver:
                     out[f"{prefix}_{name}"] = fetch(comp)
             return out
 
+        h_raw, l_raw, a_raw, b1_raw, b2_raw = self._raw_queries
         arrs = {}
         for prefix, pts in (
-            ("h", self.h_pts), ("l", self.l_pts), ("a", self.a_pts),
-            ("b1", self.b1_pts), ("b2", self.b2_pts),
+            ("h", h_raw), ("l", l_raw), ("a", a_raw),
+            ("b1", b1_raw), ("b2", b2_raw),
         ):
             arrs.update(flat(prefix, pts))
         arrs["vk"] = np.frombuffer(vk_to_bytes(self.vk), dtype=np.uint8)
@@ -337,8 +366,9 @@ class ConfidentialProver:
     def prove(self, assignments: list[dict], rs=None) -> list[Proof]:
         """assignments: per-proof witness dicts (witness_inputs_host)."""
         B = len(assignments)
-        inputs = wit.witness_inputs_host(assignments)
-        aux, public = wit.confidential_witness_jit(**inputs)
+        inputs_host, witness_jit = self._witness_fns()
+        inputs = inputs_host(assignments)
+        aux, public = witness_jit(**inputs)
         witness_mont = jnp.concatenate([public, aux], axis=1)
 
         h_scalars = self._h_scalars(witness_mont)
@@ -349,15 +379,18 @@ class ConfidentialProver:
         h_bits = pip.limbs_to_bits(h_canon, 255)
 
         # all five MSMs carry the whole proof batch B in one kernel pass
-        # (the reference's bellman loops per proof; SURVEY.md §3.2)
-        wb = self._pad_bits(wit_bits, self.msm_n)
-        lb = self._pad_bits(wit_bits[:, self.num_inputs :], self.msm_n)
-        hb = self._pad_bits(h_bits, self.msm_n)
-        a_acc = self._msm_chunked(FqOps, self.a_pts, wb)
-        b1_acc = self._msm_chunked(FqOps, self.b1_pts, wb)
-        b2_acc = self._msm_chunked(Fq2Ops, self.b2_pts, wb)
-        l_acc = self._msm_chunked(FqOps, self.l_pts, lb)
-        h_acc = self._msm_chunked(FqOps, self.h_pts, hb)
+        # (the reference's bellman loops per proof; SURVEY.md §3.2) and
+        # run at their dense (density-gathered) sizes
+        ab = self._pad_bits(wit_bits[:, self.a_cols], self.size_a)
+        bb = self._pad_bits(wit_bits[:, self.b_cols], self.size_b1)
+        bb2 = self._pad_bits(wit_bits[:, self.b_cols], self.size_b2)
+        lb = self._pad_bits(wit_bits[:, self.num_inputs :], self.size_l)
+        hb = self._pad_bits(h_bits, self.size_h)
+        a_acc = self._msm_chunked(FqOps, self.a_pts, ab, self.size_a)
+        b1_acc = self._msm_chunked(FqOps, self.b1_pts, bb, self.size_b1)
+        b2_acc = self._msm_chunked(Fq2Ops, self.b2_pts, bb2, self.size_b2)
+        l_acc = self._msm_chunked(FqOps, self.l_pts, lb, self.size_l)
+        h_acc = self._msm_chunked(FqOps, self.h_pts, hb, self.size_h)
 
         if rs is None:
             rs = [
@@ -476,9 +509,11 @@ class ConfidentialProver:
         return proofs
 
     def public_inputs(self, assignments: list[dict]) -> list[list[int]]:
-        """The 22 runtime public inputs per proof (without ONE)."""
-        inputs = wit.witness_inputs_host(assignments)
-        _, public = wit.confidential_witness_jit(**inputs)
+        """The runtime public inputs per proof (without ONE): 22 for
+        confidential, 104 for anonymous (modules/zk-system/src/lib.rs:22-23)."""
+        inputs_host, witness_jit = self._witness_fns()
+        inputs = inputs_host(assignments)
+        _, public = witness_jit(**inputs)
         # flatten on device first: 1-D buffers take the fast transfer path
         flat = jax.jit(lambda a: a.reshape(-1))(public)
         pub = np.asarray(flat).reshape(public.shape)
@@ -487,3 +522,17 @@ class ConfidentialProver:
             vals = L.from_limbs(FR, pub[:, :, b], mont=True)
             out.append(vals[1:])
         return out
+
+
+class AnonymousProver(ConfidentialProver):
+    """TPU Groth16 prover for the AnonymousTransfer circuit (~50k
+    constraints, 105 inputs; anonymous_transfer.rs:57).  Same pipeline,
+    different circuit + witness compiler."""
+
+    CIRCUIT = AnonymousTransfer
+
+    @staticmethod
+    def _witness_fns():
+        from . import witness_anon as wa
+
+        return wa.witness_inputs_host, wa.anonymous_witness_jit
