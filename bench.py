@@ -133,6 +133,61 @@ def _kernel_microbench():
     return out
 
 
+def _full_kernel_bench():
+    """BASELINE configs[1]-ish: MSM points/s at 2^20 and NTT 2^20 latency
+    on the one attached chip.  BENCH_FULL=1 (slow: extra compiles)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zerochain_tpu.ec import g1 as jg1
+    from zerochain_tpu.ec.fields import FqOps
+    from zerochain_tpu.ff import limbs as L
+    from zerochain_tpu.mirror import curves as cv
+    from zerochain_tpu.msm import pippenger as pip
+    from zerochain_tpu.ntt import plan_for
+
+    out = {}
+    # --- MSM 2^20: one base set replicated on device (content-independent
+    # throughput; random scalars), timed over the chunked kernel ---
+    n = 1 << 20
+    chunk = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "8192"))
+    base = jg1.from_affine_host(
+        [cv.g1_mul(cv.G1_GEN, 3 + i) for i in range(64)]
+    )
+    pts_chunk = pip.tmap(
+        lambda a: jnp.tile(a, (1,) * (a.ndim - 1) + (chunk // 64,)), base
+    )
+    rng = np.random.RandomState(0)
+    bits = jnp.asarray(rng.randint(0, 2, size=(255, chunk)), jnp.int32)
+    msm = pip.Msm(FqOps)
+    res = msm(pts_chunk, bits)
+    jax.tree_util.tree_leaves(res)[0].block_until_ready()
+    t0 = time.time()
+    iters = max(1, n // chunk)
+    for _ in range(iters):
+        res = msm(pts_chunk, bits)
+    jax.tree_util.tree_leaves(res)[0].block_until_ready()
+    dt = time.time() - t0
+    out["msm_g1_points_per_sec"] = round(iters * chunk / dt)
+    out["msm_2e20_secs"] = round(dt * (n / (iters * chunk)), 3)
+
+    # --- NTT 2^20 latency ---
+    d = 1 << 20
+    plan = plan_for(d)
+    x = jnp.asarray(rng.randint(0, 1 << 12, size=(L.FR.n, 1, d)), jnp.int32)
+    y = plan.ntt(x)
+    y.block_until_ready()
+    t0 = time.time()
+    for _ in range(5):
+        y = plan.ntt(y)
+    y.block_until_ready()
+    out["ntt_2e20_ms"] = round((time.time() - t0) / 5 * 1e3, 2)
+    return out
+
+
 def main():
     _setup_jax()
 
@@ -141,6 +196,9 @@ def main():
     try:
         kernels = _kernel_microbench()
         print(f"# kernel microbench: {kernels}", file=sys.stderr)
+        if os.environ.get("BENCH_FULL"):
+            kernels.update(_full_kernel_bench())
+            print(f"# full kernel bench: {kernels}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — microbench must not eat the run
         print(f"# kernel microbench failed: {type(e).__name__}: {e}",
               file=sys.stderr)

@@ -12,9 +12,11 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh
 
-from zerochain_tpu.dist.msm import sharded_msm_g1
+from zerochain_tpu.dist.msm import sharded_msm, sharded_msm_g1
 from zerochain_tpu.dist.ntt import distributed_ntt
 from zerochain_tpu.ec import g1 as jg1
+from zerochain_tpu.ec import g2 as jg2
+from zerochain_tpu.ec.fields import Fq2Ops
 from zerochain_tpu.ff import limbs as L
 from zerochain_tpu.groth16 import domain as dom
 from zerochain_tpu.mirror import curves as cv
@@ -42,6 +44,29 @@ def test_sharded_msm_g1(mesh):
     res = sharded_msm_g1(pts, bits, mesh, "pt", use_pippenger=False)
     out = jg1.to_affine_host(pip.tmap(lambda a: a[..., None], res))[0]
     assert out == cv.g1_msm(pts_host, scalars)
+
+
+def test_sharded_msm_g2_batched(mesh):
+    """G2 + a proof-batch axis through the sharded MSM (prover shape)."""
+    n_pts, B = 16, 2
+    pts_host, cur = [], cv.G2_GEN
+    for _ in range(n_pts):
+        pts_host.append(cur)
+        cur = cv.g2_double(cur)
+    scalars = [[(5 + 3 * i + b) % (1 << 16) for i in range(n_pts)]
+               for b in range(B)]
+    pts = jg2.from_affine_host(pts_host)
+    bits = jnp.stack(
+        [pip.scalars_to_bits(s, 16) for s in scalars], axis=-1
+    )  # (16, N, B)
+
+    res = sharded_msm(Fq2Ops, pts, bits, mesh, "pt", use_pippenger=True)
+    out = jg2.to_affine_host(res)
+    for b in range(B):
+        acc = None
+        for p, s in zip(pts_host, scalars[b]):
+            acc = cv.g2_add(acc, cv.g2_mul(p, s))
+        assert out[b] == acc
 
 
 def test_distributed_ntt(mesh):

@@ -201,11 +201,21 @@ def _kernels(name: str, p_int: int, n: int):
 
 
 def _to_tiles(arr, n: int):
-    """(n, *batch) -> ((n, rows, 128), batch_shape, true_batch)."""
+    """(n, *batch) -> ((n, rows, 128), batch_shape, true_batch).
+
+    The padded size is bucketed to a power of two of LANE_TILE so each
+    (op, field) compiles at most ~log2(max_batch) Mosaic kernels — the
+    witness graph calls these at dozens of distinct gadget-block shapes,
+    and an exact-shape kernel per call site turns warm-up into tens of
+    minutes of kernel compiles."""
     batch_shape = arr.shape[1:]
     flat = arr.reshape(n, -1)
     bsz = flat.shape[1]
-    padded = -(-bsz // LANE_TILE) * LANE_TILE
+    tiles = -(-bsz // LANE_TILE)
+    tiles = 1 << max(0, tiles - 1).bit_length()
+    if tiles == 2:  # measured: grid=2 hits a 25x-slower Mosaic compile path
+        tiles = 4
+    padded = tiles * LANE_TILE
     if padded != bsz:
         flat = jnp.concatenate(
             [flat, jnp.zeros((n, padded - bsz), jnp.int32)], axis=1

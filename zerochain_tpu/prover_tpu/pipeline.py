@@ -138,6 +138,18 @@ class ConfidentialProver:
         self.msm_g2 = pip.Msm(Fq2Ops)
         self._assemble = jax.jit(self._assemble_impl)
 
+        # multi-chip: shard each MSM chunk's points over the mesh with an
+        # all-gathered partial-sum reduction (dist/msm.py).  Opt-in via
+        # ZEROCHAIN_DIST=1 on a multi-device runtime; chunk sizes must
+        # divide by the device count (8192/4096 do for 2/4/8 chips).
+        self.mesh = None
+        if int(os.environ.get("ZEROCHAIN_DIST", "0")):
+            devs = jax.devices()
+            if len(devs) > 1:
+                from jax.sharding import Mesh
+
+                self.mesh = Mesh(np.asarray(devs), ("pt",))
+
     def _prep(self, pts, cols, n, chunk):
         """Gather dense columns, pad to a chunk multiple; -> (pts, size)."""
         if cols is not None:
@@ -175,10 +187,15 @@ class ConfidentialProver:
             chunk, msm, addp = self.msm_chunk_g2, self.msm_g2, jg2.add
         acc = None
         for off in range(0, size, chunk):
-            part = msm(
-                pip.tmap(lambda a: a[..., off : off + chunk], pts),
-                bits[:, off : off + chunk],
-            )
+            chunk_pts = pip.tmap(lambda a: a[..., off : off + chunk], pts)
+            chunk_bits = bits[:, off : off + chunk]
+            if self.mesh is not None:
+                from ..dist.msm import sharded_msm
+
+                part = sharded_msm(field, chunk_pts, chunk_bits,
+                                   self.mesh, "pt")
+            else:
+                part = msm(chunk_pts, chunk_bits)
             acc = part if acc is None else addp(acc, part)
             if self.serialize_chunks:
                 # serialize: unbounded async queueing of chunk executions
