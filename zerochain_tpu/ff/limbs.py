@@ -96,19 +96,20 @@ FS = FieldSpec("Fs", mf.S, 22)   # R = 2^264 (2^252 would drop add carries)
 # ---------------------------------------------------------------------
 
 def _compact_graphs() -> bool:
-    """Trace-time choice: compile-compact lax.scan carry ripples off-TPU.
+    """Trace-time choice: compile-compact lax.scan carry ripples.
 
     The parallel (Kogge–Stone) associative_scan unrolls to ~300 jaxpr eqns
-    per carry resolution — fine on TPU (and mostly bypassed by the Pallas
-    kernels there), but XLA:CPU's LLVM backend chokes on the resulting
-    100k-eqn curve/pairing modules (tens of minutes per compile).  A
-    sequential lax.scan body is 10 eqns and the same exact math."""
+    per carry resolution; a sequential lax.scan body is 10 eqns of the
+    same exact math.  Default ON everywhere: XLA:CPU's LLVM chokes on the
+    unrolled 100k-eqn curve/pairing modules (tens of minutes), and on TPU
+    the witness-module compile must stay cheap because the tunneled
+    worker's restarts change the persistent-cache key (every bench attempt
+    recompiles cold).  Hot big-batch ops bypass this entirely via the
+    fused Pallas kernels; ZEROCHAIN_COMPACT_GRAPHS=0 restores the
+    parallel scans."""
     if _COMPACT_ENV in ("0", "1"):
         return _COMPACT_ENV == "1"
-    try:
-        return jax.default_backend() != "tpu"
-    except Exception:  # noqa: BLE001
-        return True
+    return True
 
 
 _COMPACT_ENV = __import__("os").environ.get("ZEROCHAIN_COMPACT_GRAPHS", "")

@@ -35,6 +35,10 @@ SUBLANES = 8
 LANES = 128
 LANE_TILE = SUBLANES * LANES  # batch elements per grid step
 
+# interpret mode: run kernel bodies as plain jax ops (CPU testing of the
+# kernel logic without a TPU; combine with ZEROCHAIN_PALLAS=1)
+INTERPRET = bool(int(os.environ.get("ZEROCHAIN_PALLAS_INTERPRET", "0")))
+
 
 def _limbs_of(v: int, n: int) -> list[int]:
     out = []
@@ -188,6 +192,7 @@ def _kernels(name: str, p_int: int, n: int):
                 in_specs=[block] * n_in,
                 out_specs=block,
                 out_shape=jax.ShapeDtypeStruct(args[0].shape, jnp.int32),
+                interpret=INTERPRET,
             )(*args)
 
         return call

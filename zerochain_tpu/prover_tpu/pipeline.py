@@ -382,13 +382,24 @@ class ConfidentialProver:
     # ------------------------------------------------------------------
     def prove(self, assignments: list[dict], rs=None) -> list[Proof]:
         """assignments: per-proof witness dicts (witness_inputs_host)."""
+        import sys as _sys
+        import time as _time
+
+        def _mark(msg, _t0=[_time.time()]):
+            print(f"# prove +{_time.time()-_t0[0]:.1f}s: {msg}",
+                  file=_sys.stderr, flush=True)
+
         B = len(assignments)
         inputs_host, witness_jit = self._witness_fns()
         inputs = inputs_host(assignments)
         aux, public = witness_jit(**inputs)
+        jax.tree_util.tree_leaves(aux)[0].block_until_ready()
+        _mark("witness done")
         witness_mont = jnp.concatenate([public, aux], axis=1)
 
         h_scalars = self._h_scalars(witness_mont)
+        h_scalars.block_until_ready()
+        _mark("quotient (NTT) done")
 
         wit_canon = L.from_mont(FR, witness_mont)
         h_canon = L.from_mont(FR, h_scalars)
@@ -404,8 +415,10 @@ class ConfidentialProver:
         lb = self._pad_bits(wit_bits[:, self.num_inputs :], self.size_l)
         hb = self._pad_bits(h_bits, self.size_h)
         a_acc = self._msm_chunked(FqOps, self.a_pts, ab, self.size_a)
+        _mark("msm A done")
         b1_acc = self._msm_chunked(FqOps, self.b1_pts, bb, self.size_b1)
         b2_acc = self._msm_chunked(Fq2Ops, self.b2_pts, bb2, self.size_b2)
+        _mark("msm B1/B2 done")
         l_acc = self._msm_chunked(FqOps, self.l_pts, lb, self.size_l)
         h_acc = self._msm_chunked(FqOps, self.h_pts, hb, self.size_h)
 
@@ -420,9 +433,7 @@ class ConfidentialProver:
         r_bits = pip.scalars_to_bits([r for r, _ in rs], 255)
         s_bits = pip.scalars_to_bits([s for _, s in rs], 255)
 
-        import sys as _sys
-
-        print("# msms done", file=_sys.stderr)
+        _mark("msms done")
         if os.environ.get("ZEROCHAIN_HOST_ASSEMBLE"):
             return self._host_assemble(
                 a_acc, b1_acc, b2_acc, l_acc, h_acc, rs, B
@@ -431,7 +442,7 @@ class ConfidentialProver:
             a_acc, b1_acc, b2_acc, l_acc, h_acc, r_bits, s_bits
         )
         flat.block_until_ready()
-        print("# assemble done", file=_sys.stderr)
+        _mark("assemble done")
         host = np.asarray(flat).reshape(8, FQ.n, B)
 
         proofs = []
@@ -553,3 +564,20 @@ class AnonymousProver(ConfidentialProver):
         from . import witness_anon as wa
 
         return wa.witness_inputs_host, wa.anonymous_witness_jit
+
+
+class MiniProver(ConfidentialProver):
+    """Tiny fixture prover (models/mini.py) — lets the DEFAULT test suite
+    drive the full witness->NTT->MSM->assembly pipeline end-to-end at a
+    compile-friendly scale (the flagship circuits stay env-gated for
+    compile cost, not correctness)."""
+
+    from ..models.mini import MiniCommit as _MiniCommit
+
+    CIRCUIT = _MiniCommit
+
+    @staticmethod
+    def _witness_fns():
+        from . import witness_mini as wm
+
+        return wm.witness_inputs_host, wm.mini_witness_jit
