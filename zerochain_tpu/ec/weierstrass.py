@@ -24,8 +24,21 @@ def neg(F, p):
     return (p[0], F.neg(p[1]), p[2])
 
 
+def _fused_g1(F, coords) -> bool:
+    """Route G1 ops through the fused Pallas kernel (ec/pallas_ec.py)."""
+    if getattr(F, "name", "") != "fq":
+        return False
+    from . import pallas_ec
+
+    return pallas_ec.use_pallas([a.shape for a in coords])
+
+
 def double(F, p):
     """dbl-2009-l; infinity propagates (Z3 = 2YZ = 0)."""
+    if _fused_g1(F, p):
+        from . import pallas_ec
+
+        return pallas_ec.g1_double(p)
     X, Y, Z = p
     a = F.sqr(X)
     b = F.sqr(Y)
@@ -43,6 +56,10 @@ def double(F, p):
 
 def add(F, p, q):
     """Complete-by-masking Jacobian addition (add-2007-bl + cases)."""
+    if _fused_g1(F, (*p, *q)):
+        from . import pallas_ec
+
+        return pallas_ec.g1_add(p, q)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     z1z1 = F.sqr(Z1)
