@@ -74,8 +74,37 @@ def _ctx(n: int, p_int: int):
                 one_mont=lambda: fconst(one_mont))
 
 
+def _fq2_ctx(c):
+    """Fq2 helpers over pairs of plane lists (u^2 = -1, Karatsuba)."""
+
+    def mul(a, b):
+        aa = c["mul"](a[0], b[0])
+        bb = c["mul"](a[1], b[1])
+        o = c["mul"](c["add"](a[0], a[1]), c["add"](b[0], b[1]))
+        return (c["sub"](aa, bb), c["sub"](c["sub"](o, aa), bb))
+
+    def sqr(a):
+        ab = c["mul"](a[0], a[1])
+        c0 = c["mul"](c["add"](a[0], a[1]), c["sub"](a[0], a[1]))
+        return (c0, c["add"](ab, ab))
+
+    def add(a, b):
+        return (c["add"](a[0], b[0]), c["add"](a[1], b[1]))
+
+    def sub(a, b):
+        return (c["sub"](a[0], b[0]), c["sub"](a[1], b[1]))
+
+    def zmask(a):
+        return c["zmask"](a[0]) & c["zmask"](a[1])
+
+    def sel(mask, a, b):
+        return (c["sel"](mask, a[0], b[0]), c["sel"](mask, a[1], b[1]))
+
+    return dict(mul=mul, sqr=sqr, add=add, sub=sub, zmask=zmask, sel=sel)
+
+
 def _double_planes(c, X, Y, Z):
-    """dbl-2009-l on limb-plane lists; infinity propagates via Z3=2YZ."""
+    """dbl-2009-l on plane lists/pairs; infinity propagates via Z3=2YZ."""
     a = c["sqr"](X)
     b = c["sqr"](Y)
     cc = c["sqr"](b)
@@ -94,75 +123,98 @@ def _double_planes(c, X, Y, Z):
     return x3, y3, z3
 
 
-@functools.lru_cache(maxsize=None)
-def _g1_kernels():
+def _add_planes(c, P, Q, onem, zero):
+    """add-2007-bl + masked degenerate cases, field-generic."""
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    z1z1 = c["sqr"](Z1)
+    z2z2 = c["sqr"](Z2)
+    u1 = c["mul"](X1, z2z2)
+    u2 = c["mul"](X2, z1z1)
+    s1 = c["mul"](c["mul"](Y1, Z2), z2z2)
+    s2 = c["mul"](c["mul"](Y2, Z1), z1z1)
+    h = c["sub"](u2, u1)
+    r = c["sub"](s2, s1)
+
+    h2 = c["add"](h, h)
+    i = c["sqr"](h2)
+    j = c["mul"](h, i)
+    r2 = c["add"](r, r)
+    v = c["mul"](u1, i)
+    x3 = c["sub"](c["sub"](c["sqr"](r2), j), c["add"](v, v))
+    s1j = c["mul"](s1, j)
+    y3 = c["sub"](c["mul"](r2, c["sub"](v, x3)), c["add"](s1j, s1j))
+    zs = c["sqr"](c["add"](Z1, Z2))
+    z3 = c["mul"](c["sub"](c["sub"](zs, z1z1), z2z2), h)
+
+    p_inf = c["zmask"](Z1)
+    q_inf = c["zmask"](Z2)
+    x_eq = c["zmask"](h)
+    y_eq = c["zmask"](r)
+
+    dbl = _double_planes(c, X1, Y1, Z1)
+
+    res = (x3, y3, z3)
+    # same point -> double
+    both = x_eq & y_eq
+    res = tuple(c["sel"](both, d, r_) for d, r_ in zip(dbl, res))
+    # same x, different y (neither infinite) -> infinity
+    to_inf = x_eq & (~y_eq) & ~(p_inf | q_inf)
+    res = tuple(c["sel"](to_inf, i_, r_)
+                for i_, r_ in zip((onem, onem, zero), res))
+    res = tuple(c["sel"](q_inf, a, r_) for a, r_ in zip(P, res))
+    res = tuple(c["sel"](p_inf, b, r_) for b, r_ in zip(Q, res))
+    return res
+
+
+def _build_kernels(ncomp: int):
+    """ncomp=1 -> G1 (Fq coords), ncomp=2 -> G2 (Fq2 coords).
+
+    Kernel refs: ncomp arrays per coordinate, 3 coords in (+3 more for
+    add's second point), 3*ncomp outputs."""
     n = FQ.n
-    c = _ctx(n, Q)
+    base = _ctx(n, Q)
+    c = base if ncomp == 1 else _fq2_ctx(base)
 
-    def read(ref):
-        return [ref[i] for i in range(n)]
+    def read(refs):
+        if ncomp == 1:
+            return [refs[0][i] for i in range(n)]
+        return ([refs[0][i] for i in range(n)],
+                [refs[1][i] for i in range(n)])
 
-    def write(ref, planes):
-        for k in range(n):
-            ref[k] = jnp.broadcast_to(planes[k], ref.shape[1:])
+    def write(refs, val):
+        comps = [val] if ncomp == 1 else list(val)
+        for ref, planes in zip(refs, comps):
+            for k in range(n):
+                ref[k] = jnp.broadcast_to(planes[k], ref.shape[1:])
 
-    def add_kernel(x1r, y1r, z1r, x2r, y2r, z2r, x3r, y3r, z3r):
-        X1, Y1, Z1 = read(x1r), read(y1r), read(z1r)
-        X2, Y2, Z2 = read(x2r), read(y2r), read(z2r)
+    def consts(like_plane):
+        zero1 = [jnp.zeros_like(like_plane)] * n
+        onem1 = [jnp.broadcast_to(v, like_plane.shape)
+                 for v in [jnp.full((1, 1), lv, jnp.int32)
+                           for lv in PF._limbs_of(
+                               pow(2, PF.LIMB_BITS * n, Q), n)]]
+        if ncomp == 1:
+            return onem1, zero1
+        return (onem1, zero1), (zero1, [x for x in zero1])
 
-        z1z1 = c["sqr"](Z1)
-        z2z2 = c["sqr"](Z2)
-        u1 = c["mul"](X1, z2z2)
-        u2 = c["mul"](X2, z1z1)
-        s1 = c["mul"](c["mul"](Y1, Z2), z2z2)
-        s2 = c["mul"](c["mul"](Y2, Z1), z1z1)
-        h = c["sub"](u2, u1)
-        r = c["sub"](s2, s1)
+    def add_kernel(*refs):
+        ins, outs = refs[: 6 * ncomp], refs[6 * ncomp :]
+        P = tuple(read(ins[i * ncomp : (i + 1) * ncomp]) for i in range(3))
+        Qp = tuple(read(ins[(3 + i) * ncomp : (4 + i) * ncomp])
+                   for i in range(3))
+        like = ins[0][0]
+        onem, zero = consts(like)
+        res = _add_planes(c, P, Qp, onem, zero)
+        for i in range(3):
+            write(outs[i * ncomp : (i + 1) * ncomp], res[i])
 
-        h2 = c["add"](h, h)
-        i = c["sqr"](h2)
-        j = c["mul"](h, i)
-        r2 = c["add"](r, r)
-        v = c["mul"](u1, i)
-        x3 = c["sub"](c["sub"](c["sqr"](r2), j), c["add"](v, v))
-        s1j = c["mul"](s1, j)
-        y3 = c["sub"](c["mul"](r2, c["sub"](v, x3)), c["add"](s1j, s1j))
-        zs = c["sqr"](c["add"](Z1, Z2))
-        z3 = c["mul"](c["sub"](c["sub"](zs, z1z1), z2z2), h)
-
-        p_inf = c["zmask"](Z1)
-        q_inf = c["zmask"](Z2)
-        x_eq = c["zmask"](h)
-        y_eq = c["zmask"](r)
-
-        dx, dy, dz = _double_planes(c, X1, Y1, Z1)
-        zero = [jnp.zeros_like(X1[0])] * n
-        onem = [jnp.broadcast_to(v, X1[0].shape)
-                for v in c["one_mont"]()]
-
-        res = (x3, y3, z3)
-        # same point -> double
-        both = x_eq & y_eq
-        res = tuple(c["sel"](both, d, r_)
-                    for d, r_ in zip((dx, dy, dz), res))
-        # same x, different y (neither infinite) -> infinity
-        to_inf = x_eq & (~y_eq) & ~(p_inf | q_inf)
-        res = tuple(c["sel"](to_inf, i_, r_)
-                    for i_, r_ in zip((onem, onem, zero), res))
-        res = tuple(c["sel"](q_inf, a, r_)
-                    for a, r_ in zip((X1, Y1, Z1), res))
-        res = tuple(c["sel"](p_inf, b, r_)
-                    for b, r_ in zip((X2, Y2, Z2), res))
-        write(x3r, res[0])
-        write(y3r, res[1])
-        write(z3r, res[2])
-
-    def double_kernel(x1r, y1r, z1r, x3r, y3r, z3r):
-        X1, Y1, Z1 = read(x1r), read(y1r), read(z1r)
-        x3, y3, z3 = _double_planes(c, X1, Y1, Z1)
-        write(x3r, x3)
-        write(y3r, y3)
-        write(z3r, z3)
+    def double_kernel(*refs):
+        ins, outs = refs[: 3 * ncomp], refs[3 * ncomp :]
+        P = tuple(read(ins[i * ncomp : (i + 1) * ncomp]) for i in range(3))
+        res = _double_planes(c, *P)
+        for i in range(3):
+            write(outs[i * ncomp : (i + 1) * ncomp], res[i])
 
     block = pl.BlockSpec(
         (n, PF.SUBLANES, PF.LANES), lambda i: (0, i, 0),
@@ -174,48 +226,156 @@ def _g1_kernels():
         def call(*args):
             tiles = args[0].shape[1] // PF.SUBLANES
             shape = args[0].shape
+            n_out = 3 * ncomp
             return pl.pallas_call(
                 kernel,
                 grid=(tiles,),
                 in_specs=[block] * n_in,
-                out_specs=(block,) * 3,
+                out_specs=(block,) * n_out,
                 out_shape=tuple(
-                    jax.ShapeDtypeStruct(shape, jnp.int32) for _ in range(3)
+                    jax.ShapeDtypeStruct(shape, jnp.int32)
+                    for _ in range(n_out)
                 ),
                 interpret=PF.INTERPRET,
             )(*args)
 
         return call
 
-    return {"add": build(add_kernel, 6), "double": build(double_kernel, 3)}
+    def add2sel_kernel(*refs):
+        """Hillis-Steele segmented-scan level body, fully fused:
+        out = keep ? x : (f ? x : add(xl, x))."""
+        ins, outs = refs[: 6 * ncomp + 2], refs[6 * ncomp + 2 :]
+        XL = tuple(read(ins[i * ncomp : (i + 1) * ncomp]) for i in range(3))
+        X = tuple(read(ins[(3 + i) * ncomp : (4 + i) * ncomp])
+                  for i in range(3))
+        f_ref, keep_ref = ins[6 * ncomp], ins[6 * ncomp + 1]
+        like = ins[0][0]
+        onem, zero = consts(like)
+        merged = _add_planes(c, XL, X, onem, zero)
+        f = f_ref[0] != 0
+        keep = keep_ref[0] != 0
+        passthru = f | keep
+        res = tuple(c["sel"](passthru, xc, mc) for xc, mc in zip(X, merged))
+        for i in range(3):
+            write(outs[i * ncomp : (i + 1) * ncomp], res[i])
+
+    mask_block = pl.BlockSpec(
+        (1, PF.SUBLANES, PF.LANES), lambda i: (0, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def build_add2sel():
+        @jax.jit
+        def call(*args):
+            tiles = args[0].shape[1] // PF.SUBLANES
+            shape = args[0].shape
+            n_out = 3 * ncomp
+            return pl.pallas_call(
+                add2sel_kernel,
+                grid=(tiles,),
+                in_specs=[block] * (6 * ncomp) + [mask_block] * 2,
+                out_specs=(block,) * n_out,
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct(shape, jnp.int32)
+                    for _ in range(n_out)
+                ),
+                interpret=PF.INTERPRET,
+            )(*args)
+
+        return call
+
+    return {
+        "add": build(add_kernel, 6 * ncomp),
+        "double": build(double_kernel, 3 * ncomp),
+        "add2sel": build_add2sel(),
+    }
 
 
-def _route(op: str, coords):
-    """coords: list of (n, *batch) arrays -> op outputs as 3 arrays."""
+@functools.lru_cache(maxsize=None)
+def _kernels(ncomp: int):
+    return _build_kernels(ncomp)
+
+
+def _flatten_pt(p, ncomp):
+    """Point tuple -> flat list of component arrays (x0[,x1], y0[,y1], ...)."""
+    out = []
+    for coord in p:
+        if ncomp == 1:
+            out.append(coord)
+        else:
+            out.extend(coord)
+    return out
+
+
+def _unflatten_pt(arrs, ncomp):
+    if ncomp == 1:
+        return tuple(arrs)
+    return tuple((arrs[2 * i], arrs[2 * i + 1]) for i in range(3))
+
+
+def _route(op: str, arrs, ncomp: int):
     n = FQ.n
+    shape = jnp.broadcast_shapes(*(a.shape for a in arrs))
     tiled = []
     bshape = bsz = None
-    for a in coords:
-        t, bshape, bsz = PF._to_tiles(a, n)
+    for a in arrs:
+        t, bshape, bsz = PF._to_tiles(jnp.broadcast_to(a, shape), n)
         tiled.append(t)
-    outs = _g1_kernels()[op](*tiled)
-    return tuple(PF._from_tiles(o, bshape, bsz, n) for o in outs)
+    outs = _kernels(ncomp)[op](*tiled)
+    flat = [PF._from_tiles(o, bshape, bsz, n) for o in outs]
+    return _unflatten_pt(flat, ncomp)
 
 
 def g1_add(p, q):
     """Fused Jacobian add; drop-in for weierstrass.add(FqOps, p, q)."""
-    shape = jnp.broadcast_shapes(*(a.shape for a in (*p, *q)))
-    args = [jnp.broadcast_to(a, shape) for a in (*p, *q)]
-    return _route("add", args)
+    return _route("add", _flatten_pt(p, 1) + _flatten_pt(q, 1), 1)
 
 
 def g1_double(p):
-    shape = jnp.broadcast_shapes(*(a.shape for a in p))
-    args = [jnp.broadcast_to(a, shape) for a in p]
-    return _route("double", args)
+    return _route("double", _flatten_pt(p, 1), 1)
+
+
+def g2_add(p, q):
+    """Fused Jacobian add over Fq2 coordinate pairs (G2)."""
+    return _route("add", _flatten_pt(p, 2) + _flatten_pt(q, 2), 2)
+
+
+def g2_double(p):
+    return _route("double", _flatten_pt(p, 2), 2)
+
+
+def hs_add_select(F_name: str, xl, x, f, keep):
+    """Fused Hillis-Steele level: keep/f-masked add(xl, x) (see kernel).
+
+    xl/x: point tuples; f/keep: bool arrays over the point batch shape."""
+    n = FQ.n
+    ncomp = 1 if F_name == "fq" else 2
+    arrs = _flatten_pt(xl, ncomp) + _flatten_pt(x, ncomp)
+    shape = jnp.broadcast_shapes(*(a.shape for a in arrs))
+    batch = shape[1:]
+    tiled = []
+    bshape = bsz = None
+    for a in arrs:
+        t, bshape, bsz = PF._to_tiles(jnp.broadcast_to(a, shape), n)
+        tiled.append(t)
+    for m in (f, keep):
+        mi = jnp.broadcast_to(m, batch).astype(jnp.int32)[None]
+        t, _, _ = PF._to_tiles(mi, 1)
+        tiled.append(t)
+    outs = _kernels(ncomp)["add2sel"](*tiled)
+    flat = [PF._from_tiles(o, bshape, bsz, n) for o in outs]
+    return _unflatten_pt(flat, ncomp)
+
+
+def _leaf_shapes(pts):
+    for coord in pts:
+        if isinstance(coord, tuple):
+            yield from (c.shape for c in coord)
+        else:
+            yield coord.shape
 
 
 def use_pallas(shapes) -> bool:
-    """Trace-time routing for a G1 group op (same policy as pallas_ff)."""
+    """Trace-time routing for a fused group op (same policy as pallas_ff)."""
     shape = jnp.broadcast_shapes(*shapes)
     return PF.use_pallas(shape)

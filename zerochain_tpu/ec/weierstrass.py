@@ -24,21 +24,22 @@ def neg(F, p):
     return (p[0], F.neg(p[1]), p[2])
 
 
-def _fused_g1(F, coords) -> bool:
-    """Route G1 ops through the fused Pallas kernel (ec/pallas_ec.py)."""
-    if getattr(F, "name", "") != "fq":
+def _fused(F, pts) -> bool:
+    """Route group ops through the fused Pallas kernels (ec/pallas_ec.py)."""
+    if getattr(F, "name", "") not in ("fq", "fq2"):
         return False
     from . import pallas_ec
 
-    return pallas_ec.use_pallas([a.shape for a in coords])
+    return pallas_ec.use_pallas(list(pallas_ec._leaf_shapes(pts)))
 
 
 def double(F, p):
     """dbl-2009-l; infinity propagates (Z3 = 2YZ = 0)."""
-    if _fused_g1(F, p):
+    if _fused(F, p):
         from . import pallas_ec
 
-        return pallas_ec.g1_double(p)
+        fn = pallas_ec.g1_double if F.name == "fq" else pallas_ec.g2_double
+        return fn(p)
     X, Y, Z = p
     a = F.sqr(X)
     b = F.sqr(Y)
@@ -56,10 +57,11 @@ def double(F, p):
 
 def add(F, p, q):
     """Complete-by-masking Jacobian addition (add-2007-bl + cases)."""
-    if _fused_g1(F, (*p, *q)):
+    if _fused(F, (*p, *q)):
         from . import pallas_ec
 
-        return pallas_ec.g1_add(p, q)
+        fn = pallas_ec.g1_add if F.name == "fq" else pallas_ec.g2_add
+        return fn(p, q)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     z1z1 = F.sqr(Z1)

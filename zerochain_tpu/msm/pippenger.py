@@ -111,18 +111,19 @@ class Msm:
             int(_os.environ.get("ZEROCHAIN_MSM_WG", "4"))
             if window_group is None else window_group
         )
-        # 'assoc': work-efficient associative_scan segmented sum (~2N adds
-        # per window) — inlines ~20 point-add graphs, fine on TPU where the
-        # Pallas kernels collapse each add to a handful of HLOs.
-        # 'hs': Hillis–Steele lax.scan (N·log N adds but ONE add graph) —
-        # for XLA:CPU, whose compile time explodes on the inlined copies.
+        # 'hs' (default): Hillis–Steele lax.scan — N·log N adds but ONE
+        # point-add instance, which with the fused Pallas group-law kernel
+        # (ec/pallas_ec.py) means ONE Mosaic kernel compile and a compact
+        # XLA module.  'assoc': work-efficient associative_scan (~2N adds)
+        # — best steady-state arithmetic, but jax's odd/even recursion
+        # instantiates the add at ~log2(N) distinct widths, each a fresh
+        # multi-minute kernel/module compile; worth it only when the
+        # compile cache is reliable (the tunneled worker's restarts rotate
+        # the cache key, so cold compiles dominate here).
         if mode is None:
             mode = _os.environ.get("ZEROCHAIN_MSM_SCAN", "")
         if not mode:
-            try:
-                mode = "assoc" if jax.default_backend() == "tpu" else "hs"
-            except Exception:  # noqa: BLE001
-                mode = "hs"
+            mode = "hs"
         self.mode = mode
         self._jit = jax.jit(self._impl)
 
@@ -158,21 +159,29 @@ class Msm:
                 seg_op, (pts_s, flags), axis=1
             )
         else:
-            # Hillis–Steele: log2(N) levels through ONE point-add graph
+            # Hillis–Steele: log2(N) levels through ONE point-add graph;
+            # on TPU the whole level body (add + both masked selects) is
+            # ONE fused Pallas kernel -> one Mosaic compile for the module
             n = keys.shape[0]
             pos = jnp.arange(n)
             n_levels = max(1, (n - 1).bit_length())
             shifts = jnp.asarray([1 << d for d in range(n_levels)], jnp.int32)
+            fused = W._fused(F, pts_s)
 
             def level(carry, s):
                 x, f = carry
                 xl = tmap(lambda a: jnp.roll(a, s, axis=-1), x)
                 fl = jnp.roll(f, s)
-                merged = W.add(F, xl, x)
-                cand = W.select(F, f, x, merged)  # segment start: keep x
                 f_new = jnp.logical_or(f, fl)
                 keep = pos < s  # no left neighbour at distance s
-                out = W.select(F, keep, x, cand)
+                if fused:
+                    from ..ec import pallas_ec
+
+                    out = pallas_ec.hs_add_select(F.name, xl, x, f, keep)
+                else:
+                    merged = W.add(F, xl, x)
+                    cand = W.select(F, f, x, merged)  # segment start
+                    out = W.select(F, keep, x, cand)
                 f_out = jnp.where(keep, f, f_new)
                 return (out, f_out), None
 
