@@ -13,6 +13,21 @@ from zerochain_tpu.mirror.field import R
 rng = np.random.default_rng(11)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """XLA:CPU deterministically segfaults SERIALIZING this module's big
+    MSM executables to the persistent cache (jax compilation_cache
+    put_executable_and_time, reproduced twice at the same test) — skip
+    cache writes for this module; the compact-carry graphs recompile in
+    a couple of minutes."""
+    import jax
+
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 def _rand_scalars(n):
     return [int.from_bytes(rng.bytes(32), "little") % R for _ in range(n)]
 

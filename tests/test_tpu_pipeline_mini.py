@@ -19,7 +19,8 @@ def test_mini_pipeline_end_to_end(monkeypatch):
         chunk=256, chunk_g2=256,
     )
     assignments = [dict(amount=10), dict(amount=0xFFFF0001)]
-    proofs = prover.prove(assignments, rs=[(3, 5), (7, 9)])
+    # rs=None: the os.urandom sampling path real proving uses
+    proofs = prover.prove(assignments)
 
     pvk = prepare_verifying_key(prover.vk)
     pubs = prover.public_inputs(assignments)

@@ -134,8 +134,14 @@ class ConfidentialProver:
         self.b2_pts, self.size_b2 = self._prep(b2_raw, self.b_cols, None,
                                                self.msm_chunk_g2)
 
-        self.msm_g1 = pip.Msm(FqOps)
-        self.msm_g2 = pip.Msm(Fq2Ops)
+        # per-group scan-mode knobs: 'assoc' costs ~log2(N) extra Mosaic
+        # kernel compiles (per worker session) but ~6.5x fewer point-adds
+        self.msm_g1 = pip.Msm(
+            FqOps, mode=os.environ.get("ZEROCHAIN_MSM_SCAN_G1") or None
+        )
+        self.msm_g2 = pip.Msm(
+            Fq2Ops, mode=os.environ.get("ZEROCHAIN_MSM_SCAN_G2") or None
+        )
         self._assemble = jax.jit(self._assemble_impl)
 
         # multi-chip: shard each MSM chunk's points over the mesh with an
