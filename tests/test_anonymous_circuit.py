@@ -128,17 +128,80 @@ def test_satisfied_and_input_layout(synthesized):
     assert cs.get_input(n * 8 + 8) == aux["nonce"][1]
 
 
+# Per-namespace golden constraint counts, cross-walked one-for-one against
+# the reference's synthesize() (anonymous_transfer.rs:67-331: same 41
+# namespaces, same order).  Every gadget cost below is independently
+# verified by the ConfidentialTransfer golden CS hash (d23c92fb..., which
+# our synthesis reproduces bit-for-bit), so the total 50,514 is the
+# analytic count of the CURRENT reference source; the commented-out golden
+# 50,634 (anonymous_transfer.rs:449) is stale (predates source changes).
+GOLDEN_NAMESPACE_COUNTS = {
+    "initialize acc.": 4,
+    "range proof of amount": 63,
+    "compute the amount in the exponent": 92,
+    "range proof of remaining_balance": 63,
+    "compute the remaining balance in the exponent": 92,
+    "dec_key": 252,
+    "new s binary": 12,
+    "new t binary": 12,
+    "push enckeys": 48,
+    "add folded enc keys": 96,
+    "compute enc_key_sender": 750,
+    "equal enc_key_sender": 2,
+    # 12 variable-base muls of the 252-bit randomness: 12 * 3,286
+    "generate enc keys multipled by randomness": 39432,
+    "ciphertext_left_set": 48,
+    "add folded enc keys mul random": 96,
+    "compute ciphertext left t_i": 6,
+    "add folded left ciphertext based in t_i": 96,
+    "left ciphertext equals based in t_i": 2,
+    "s_i xor t_i": 12,
+    "add folded randomized enc keys based in (s_i xor t_i)": 96,
+    "add folded left ciphertext based in (s_i xor t_i)": 96,
+    "left ciphertext equals based in (s_i xor t_i)": 2,
+    "s_i nor t_i": 12,
+    "equal a and b in nor st": 72,
+    "inputize enc key set": 24,
+    "inputize ciphertext left set": 24,
+    "left balance ciphertexts witness": 48,
+    "add each with left amount ciphertexts": 72,
+    "Add folded C_l minus C": 96,
+    "right balance ciphertexts witness": 48,
+    "add folded right balance ciphertexts": 96,
+    "randomness_bits": 252,
+    "compute the right elgamal component": 750,
+    "amount minus balance ciphertext": 6,
+    "cr_minus_d mul sk": 3265,
+    "rb_g adds cr_minus_d_mul_sk": 6,
+    "rl_c equals to rh_c": 2,
+    "inputize left balance ciphertext": 24,
+    "inputize right balance ciphertext": 24,
+    "inputize right amount ciphertext.": 2,
+    "inputize rvk": 1046,
+    "inputize g_epoch and nonce": 3273,
+}
+
+
 def test_structure_stable(synthesized):
-    """Pin the measured structure so regressions are caught (the upstream
-    golden 50,634 is marked stale in the reference)."""
+    """Pin the analytically-verified structure (see table above)."""
     cs, _ = synthesized
     setup_cs = ConstraintSystem(track_names=False)
     AnonymousTransfer().synthesize(setup_cs)
     assert setup_cs.num_constraints == cs.num_constraints
     assert setup_cs.num_inputs == 105
     assert setup_cs.hash() == cs.hash()
-    # circuit scale sanity: ~50k constraints like the reference's stale golden
-    assert 45000 <= cs.num_constraints <= 56000, cs.num_constraints
+    assert cs.num_constraints == sum(GOLDEN_NAMESPACE_COUNTS.values()) == 50514
+
+
+def test_namespace_breakdown(synthesized):
+    """Per-namespace counts match the reference synthesize() cross-walk."""
+    import collections
+
+    cs, _ = synthesized
+    buckets = collections.Counter(
+        name.split("/")[0] for name in cs.constraint_names
+    )
+    assert dict(buckets) == GOLDEN_NAMESPACE_COUNTS
 
 
 def test_invalid_amount_unsatisfied():
