@@ -387,11 +387,28 @@ class ConfidentialProver:
 
     # ------------------------------------------------------------------
     def prove(self, assignments: list[dict], rs=None) -> list[Proof]:
-        """assignments: per-proof witness dicts (witness_inputs_host)."""
+        """assignments: per-proof witness dicts (witness_inputs_host).
+
+        Set ZEROCHAIN_TRACE=<dir> for an xprof device trace of the run;
+        stage wall-times land in ``self.last_timings`` either way."""
+        from ..utils.profiling import device_trace, trace_dir_from_env
+
+        with device_trace(trace_dir_from_env()):
+            return self._prove_impl(assignments, rs)
+
+    def _prove_impl(self, assignments: list[dict], rs=None) -> list[Proof]:
         import sys as _sys
         import time as _time
 
+        from ..utils.profiling import (
+            StageRecorder, device_trace, trace_dir_from_env,
+        )
+
+        rec = StageRecorder()
+        self.last_timings = rec.timings  # live view; populated below
+
         def _mark(msg, _t0=[_time.time()]):
+            rec.mark(msg.replace(" done", "").replace(" ", "_"))
             print(f"# prove +{_time.time()-_t0[0]:.1f}s: {msg}",
                   file=_sys.stderr, flush=True)
 
