@@ -19,13 +19,21 @@ def _no_persistent_cache():
     MSM executables to the persistent cache (jax compilation_cache
     put_executable_and_time, reproduced twice at the same test) — skip
     cache writes for this module; the compact-carry graphs recompile in
-    a couple of minutes."""
+    a couple of minutes.
+
+    NB: changing jax_compilation_cache_dir here is NOT enough — jax's
+    cache object is a global initialized once, so a later dir change is
+    ignored (reproduced: the round-2 dir=None version still crashed in
+    put_executable_and_time).  The write gate that IS consulted on every
+    compile is persistent_cache_min_compile_time_secs; raise it so no
+    executable from this module is ever serialized.  Cache READS keep
+    working either way."""
     import jax
 
-    old = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     yield
-    jax.config.update("jax_compilation_cache_dir", old)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
 
 
 def _rand_scalars(n):

@@ -263,8 +263,30 @@ def mont_sqr(spec, a):
 
 # ---------------------------------------------------------------- gating
 
+import threading
+from contextlib import contextmanager
+
 _FORCE = os.environ.get("ZEROCHAIN_PALLAS", "")  # "1" force-on, "0" off
 MIN_BATCH = int(os.environ.get("ZEROCHAIN_PALLAS_MIN_BATCH", "1024"))
+_TLS = threading.local()
+
+
+@contextmanager
+def forced(on: bool = True):
+    """Trace-time override: route EVERY field op in scope through the
+    fused kernels (on TPU), ignoring the MIN_BATCH heuristic.
+
+    Compile-cost tool, not just a perf knob: a module that mixes fused
+    kernels with composed small-width ops inlines a multi-k-eqn graph per
+    composed op — the suffix-MSM module's unrolled small-width tree adds
+    pushed XLA:TPU compiles past 20 minutes until routed here.  No-op on
+    non-TPU backends (the kernels need real TPU lowering)."""
+    prev = getattr(_TLS, "force", None)
+    _TLS.force = on
+    try:
+        yield
+    finally:
+        _TLS.force = prev
 
 
 @functools.lru_cache(maxsize=1)
@@ -279,6 +301,9 @@ def use_pallas(a_shape, b_shape=None) -> bool:
     """Static (trace-time) routing decision for a field op."""
     if _FORCE == "0":
         return False
+    tls = getattr(_TLS, "force", None)
+    if tls is not None:
+        return bool(tls) and _on_tpu()
     shape = (
         jnp.broadcast_shapes(a_shape, b_shape) if b_shape is not None
         else a_shape

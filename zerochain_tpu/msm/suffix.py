@@ -1,0 +1,322 @@
+"""Suffix-sum Pippenger MSM: sort + one work-efficient prefix scan.
+
+The round-2 MSM (msm/pippenger.py) bucket-accumulated each window with a
+Hillis-Steele segmented scan: N*log2(N) point-adds per window, each level a
+full-width HBM round trip, followed by a 2^c-step sequential bucket fold
+and a 255-doubling window combine PER CHUNK.  This module replaces all of
+that with the suffix-sum identity
+
+    sum_i d_i * P_i  =  sum_{t=1}^{2^c - 1}  sum_{i : d_i >= t} P_i
+
+With points sorted by digit (descending), every inner sum is a PREFIX of
+the sorted array, so one inclusive prefix scan (Ladner-Fischer, ~2N adds,
+work-efficient and fully vectorized over windows x proof batch) plus a
+2^c-point gather + tree-sum replaces the segmented scan, the bucket
+scatter, and the bucket fold.  No scatter of point data anywhere; the only
+data-dependent addressing is an int32 histogram and a small gather.
+
+Per-window totals are returned separately so the chunk loop accumulates
+partials per window and the Horner window combine (c doublings per window,
+reference semantics = bellman's multiexp recombination, SURVEY.md §2.3)
+runs ONCE per MSM instead of once per chunk.
+
+Work per (window, proof): sort N int32 keys + ~2N point-adds + 2^c-gather
++ 2^c adds.  The reference's bellman fork does the same sum with scalar
+bucket adds fanned over CPU threads; none of that maps to the VPU — this
+does, riding the fused Pallas group-law kernels (ec/pallas_ec.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ec import weierstrass as W
+from ..ec.fields import FqOps, Fq2Ops
+from ..ff import limbs as L
+from .pippenger import tmap, WINDOW_C
+
+LIMB_BITS = L.LIMB_BITS
+
+
+def digits_from_limbs(limbs: jnp.ndarray, c: int, n_windows: int):
+    """(n_limbs, ...) canonical 12-bit limb scalars -> (nw, ...) c-bit digits.
+
+    Skips the (255, N, B) bit expansion of pippenger.limbs_to_bits: each
+    c-bit window straddles at most two 12-bit limbs (c <= 12)."""
+    assert c <= LIMB_BITS
+    z = jnp.zeros((1, *limbs.shape[1:]), limbs.dtype)
+    ext = jnp.concatenate([limbs, z], axis=0)
+    mask = (1 << c) - 1
+    outs = []
+    for w in range(n_windows):
+        l0, s0 = divmod(c * w, LIMB_BITS)
+        d = ext[min(l0, ext.shape[0] - 1)] >> s0
+        if LIMB_BITS - s0 < c and l0 + 1 < ext.shape[0]:
+            d = d | (ext[l0 + 1] << (LIMB_BITS - s0))
+        outs.append(d & mask)
+    return jnp.stack(outs, axis=0)
+
+
+def _interleave(a, b):
+    """(..., n), (..., n) -> (..., 2n) with a at even, b at odd slots."""
+    stacked = jnp.stack([a, b], axis=-1)
+    return stacked.reshape(*a.shape[:-1], 2 * a.shape[-1])
+
+
+LF_MIN = int(os.environ.get("ZEROCHAIN_LF_MIN", "256"))
+
+
+def lf_scan(F, pts):
+    """Inclusive prefix scan (group add) along the LAST axis (pow2 width).
+
+    Ladner-Fischer: pairwise-combine, recurse on halves, reconstruct —
+    ~2N adds total (work-efficient) at 2*log2(N) add-depth, every level a
+    single vectorized fused-kernel add over the full (window x proof)
+    batch.  Below LF_MIN the recursion switches to the lax.scan HS twin:
+    the narrow tail levels contribute negligible runtime but each unrolled
+    add inlines a multi-k-eqn composed graph once the width drops under
+    the Pallas routing threshold — XLA took tens of minutes on the G2
+    module before this cut."""
+    n = jax.tree_util.tree_leaves(pts)[0].shape[-1]
+    if n == 1:
+        return pts
+    if n <= LF_MIN:
+        return hs_prefix_scan(F, pts)
+    assert n % 2 == 0, "lf_scan needs a pow2 width"
+    even = tmap(lambda x: x[..., 0::2], pts)
+    odd = tmap(lambda x: x[..., 1::2], pts)
+    s = W.add(F, even, odd)          # pair sums           (n/2 adds)
+    r = lf_scan(F, s)                # inclusive scan of pair sums
+    batch = jax.tree_util.tree_leaves(pts)[0].shape[:-1]
+    ident = W.identity(F, (*batch[1:], 1))
+    r_prev = jax.tree.map(
+        lambda x, i: jnp.concatenate(
+            [jnp.broadcast_to(i, (*x.shape[:-1], 1)), x[..., :-1]], axis=-1
+        ),
+        r, ident,
+    )
+    y_even = W.add(F, r_prev, even)  # odd-position fix-up (n/2 adds)
+    return jax.tree.map(_interleave, y_even, r)
+
+
+def hs_prefix_scan(F, pts):
+    """Inclusive prefix scan as a lax.scan over shift distances.
+
+    N*log2(N) adds but ONE point-add instance (constant shapes), so the
+    XLA module stays tiny — the right trade when the fused Pallas kernels
+    are not in play (CPU test suite, tiny widths), where lf_scan's
+    unrolled shrinking-width adds each inline a ~3.5k-eqn composed graph
+    and XLA:CPU's LLVM takes minutes per module."""
+    n = jax.tree_util.tree_leaves(pts)[0].shape[-1]
+    if n == 1:
+        return pts
+    n_levels = (n - 1).bit_length()
+    shifts = jnp.asarray([1 << d for d in range(n_levels)], jnp.int32)
+    pos = jax.lax.iota(jnp.int32, n)
+
+    def level(x, s):
+        shifted = tmap(lambda a: jnp.roll(a, s, axis=-1), x)
+        merged = W.add(F, shifted, x)
+        keep = pos < s  # no element at distance s to the left
+        return jax.tree.map(
+            lambda xc, mc: jnp.where(keep, xc, mc), x, merged
+        ), None
+
+    y, _ = jax.lax.scan(level, pts, shifts)
+    return y
+
+
+def prefix_scan(F, pts):
+    """Trace-time routing: work-efficient unrolled LF when the fused
+    Pallas kernels will run the adds, compile-compact HS otherwise."""
+    from ..ff import pallas_ff as PF
+
+    leaf = jax.tree_util.tree_leaves(pts)[0]
+    if PF.use_pallas(leaf.shape):
+        return lf_scan(F, pts)
+    return hs_prefix_scan(F, pts)
+
+
+def tree_sum_last(F, pts, n: int):
+    """Pairwise tree reduction over the last axis (n entries)."""
+    pad = 1 << max(0, (n - 1).bit_length())
+    if pad != n:
+        ident = W.identity(F, (pad - n,))
+
+        def extend(x, i):
+            # identity leaf (L, pad-n) -> align with (L, ..., pad-n)
+            i = i.reshape(i.shape[0], *([1] * (x.ndim - 2)), i.shape[-1])
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(i, (*x.shape[:-1], pad - n))], axis=-1
+            )
+
+        pts = jax.tree.map(extend, pts, ident)
+        n = pad
+    while n > 1:
+        half = n // 2
+        a = tmap(lambda x: x[..., :half], pts)
+        b = tmap(lambda x: x[..., half:n], pts)
+        pts = W.add(F, a, b)
+        n = half
+    return tmap(lambda x: x[..., 0], pts)
+
+
+class SuffixMsm:
+    """Variable-base MSM over one Weierstrass group via suffix sums.
+
+    ``window_partials(points, digits)`` -> per-window totals (nw, *batch);
+    ``combine(totals)`` -> final points (*batch).  Split so a chunked
+    caller adds partials across chunks and combines once."""
+
+    def __init__(self, field, c: int | None = None, n_bits: int = 255,
+                 window_group: int | None = None):
+        self.F = field
+        self.c = WINDOW_C if c is None else c
+        self.n_bits = n_bits
+        self.n_windows = -(-n_bits // self.c)
+        self.nb = 1 << self.c
+        self.window_group = (
+            int(os.environ.get("ZEROCHAIN_MSM_WG", "8"))
+            if window_group is None else window_group
+        )
+        self._jit_partials = jax.jit(self._partials)
+        self._jit_combine = jax.jit(self._combine)
+        self._jit_full = jax.jit(
+            lambda pts, digits: self._combine(self._partials(pts, digits))
+        )
+
+    # ------------------------------------------------------------------
+    def _group_partials(self, points, digits_m):
+        """points: leaves (L, N); digits_m: (g, *batch, N) -> (g, *batch)."""
+        F = self.F
+        N = digits_m.shape[-1]
+        lead = digits_m.shape[:-1]
+
+        # sort ascending with an index payload, then view descending
+        iota = jnp.broadcast_to(
+            jax.lax.iota(jnp.int32, N), digits_m.shape
+        )
+        keys_asc, order = jax.lax.sort(
+            (digits_m, iota), dimension=-1, num_keys=1
+        )
+        order = order[..., ::-1]
+
+        pts_s = tmap(lambda a: jnp.take(a, order, axis=-1), points)
+        # leaves now (L, g, *batch, N)
+
+        pre = prefix_scan(F, pts_s)  # inclusive prefix sums, sorted points
+
+        # cnt_ge[t] = #{i : d_i >= t} = N - searchsorted(keys_asc, t).
+        # NB: no histogram scatter here — real witness digits are heavily
+        # skewed (thousands of zeros), and a scatter-add with colliding
+        # indices serializes per duplicate on TPU (measured: 10-30x
+        # slow-down of the whole MSM vs uniform-random digits).
+        ts = jnp.arange(1, self.nb, dtype=keys_asc.dtype)
+        flat_keys = keys_asc.reshape(-1, N)
+        pos = jax.vmap(
+            lambda row: jnp.searchsorted(row, ts, side="left")
+        )(flat_keys)
+        cnt = (N - pos).reshape(*lead, self.nb - 1).astype(jnp.int32)
+        idx = jnp.maximum(cnt - 1, 0)
+        empty = cnt == 0
+
+        def gather(leaf):
+            ix = jnp.broadcast_to(idx, leaf.shape[:-1] + idx.shape[-1:])
+            return jnp.take_along_axis(leaf, ix, axis=-1)
+
+        picked = tmap(gather, pre)                 # (L, g, *batch, nb-1)
+        ident = W.identity(F, empty.shape)
+        picked = W.select(F, empty, ident, picked)
+        return tree_sum_last(F, picked, self.nb - 1)
+
+    def _partials(self, points, digits):
+        """points: Jacobian leaves (N,); digits (nw, N, *batch) ->
+        per-window totals, leaves (nw, *batch) (window axis = leaf axis 1,
+        after the limb axis)."""
+        from ..ff import pallas_ff as PF
+
+        with PF.forced():
+            return self._partials_body(points, digits)
+
+    def _partials_body(self, points, digits):
+        nw = self.n_windows
+        assert digits.shape[0] == nw
+        digits_m = jnp.moveaxis(digits, 1, -1)     # (nw, *batch, N)
+
+        # lax.scan over window groups: bounds the sorted-copy HBM temps to
+        # one group while tracing the group body once (a python loop would
+        # inline nw/wg copies into the XLA module)
+        wg = max(1, min(self.window_group, nw))
+        ng = -(-nw // wg)
+        if ng * wg != nw:  # pad windows (zero digits: identity totals)
+            digits_m = jnp.concatenate(
+                [digits_m,
+                 jnp.zeros((ng * wg - nw, *digits_m.shape[1:]),
+                           digits_m.dtype)], axis=0,
+            )
+        groups = digits_m.reshape(ng, wg, *digits_m.shape[1:])
+
+        def body(_, g):
+            return None, self._group_partials(points, g)
+
+        _, totals = jax.lax.scan(body, None, groups)
+        # leaves (ng, L, wg, *batch) -> (L, nw, *batch)
+        totals = tmap(
+            lambda a: jnp.moveaxis(a, 0, 1).reshape(
+                a.shape[1], ng * wg, *a.shape[3:]
+            )[:, :nw],
+            totals,
+        )
+        return totals
+
+    def _combine(self, totals):
+        """Per-window totals (leaves: window axis in front of batch) ->
+        final point: Horner MSB-first, c doublings + 1 add per window."""
+        from ..ff import pallas_ff as PF
+
+        with PF.forced():
+            return self._combine_body(totals)
+
+    def _combine_body(self, totals):
+        F = self.F
+        nw = self.n_windows
+
+        def comb(res, tw):
+            for _ in range(self.c):
+                res = W.double(F, res)
+            return W.add(F, res, tw), None
+
+        init = tmap(lambda a: _index_lead(a, nw - 1), totals)
+        if nw == 1:
+            return init
+        rest = tmap(lambda a: _slice_lead_rev(a, nw), totals)
+        res, _ = jax.lax.scan(comb, init, rest)
+        return res
+
+    # public API -------------------------------------------------------
+    def window_partials(self, points, digits):
+        return self._jit_partials(points, digits)
+
+    def combine(self, totals):
+        return self._jit_combine(totals)
+
+    def __call__(self, points, digits):
+        """points: Jacobian leaves (N,); digits (nw, N, *batch) ->
+        Jacobian point leaves (*batch)."""
+        return self._jit_full(points, digits)
+
+
+def _index_lead(a, i):
+    # leaves (L, nw, *batch) from _partials: window axis is 1
+    return jax.lax.index_in_dim(a, i, axis=1, keepdims=False)
+
+
+def _slice_lead_rev(a, nw):
+    # windows nw-2 .. 0 reversed, moved to axis 0 for lax.scan
+    sl = jax.lax.slice_in_dim(a, 0, nw - 1, axis=1)
+    return jnp.flip(sl, axis=1).swapaxes(0, 1)

@@ -9,6 +9,7 @@ expensive).  Mirrors bellman's create_random_proof pipeline (SURVEY.md §3.2).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -26,6 +27,7 @@ from ..mirror.field import Q, R
 from ..models.anonymous import AnonymousTransfer
 from ..models.confidential import ConfidentialTransfer
 from ..msm import pippenger as pip
+from ..msm import suffix as smsm
 from ..ntt import plan_for
 from ..r1cs.system import ConstraintSystem
 from .matvec import ConstraintMatrices
@@ -134,15 +136,43 @@ class ConfidentialProver:
         self.b2_pts, self.size_b2 = self._prep(b2_raw, self.b_cols, None,
                                                self.msm_chunk_g2)
 
-        # per-group scan-mode knobs: 'assoc' costs ~log2(N) extra Mosaic
-        # kernel compiles (per worker session) but ~6.5x fewer point-adds
-        self.msm_g1 = pip.Msm(
-            FqOps, mode=os.environ.get("ZEROCHAIN_MSM_SCAN_G1") or None
-        )
-        self.msm_g2 = pip.Msm(
-            Fq2Ops, mode=os.environ.get("ZEROCHAIN_MSM_SCAN_G2") or None
-        )
+        # Pre-slice the CRS chunk views ONCE: an eager slice per chunk per
+        # prove costs a tunnel round trip (~0.5s each through the axon
+        # worker — measured to dominate the whole proving wall time).
+        def chunks_of(pts, size, chunk):
+            return [
+                pip.tmap(lambda a: a[..., off : off + chunk], pts)
+                for off in range(0, size, chunk)
+            ]
+
+        self.a_chunks = chunks_of(self.a_pts, self.size_a, self.msm_chunk_g1)
+        self.b1_chunks = chunks_of(self.b1_pts, self.size_b1,
+                                   self.msm_chunk_g1)
+        self.b2_chunks = chunks_of(self.b2_pts, self.size_b2,
+                                   self.msm_chunk_g2)
+        self.l_chunks = chunks_of(self.l_pts, self.size_l, self.msm_chunk_g1)
+        self.h_chunks = chunks_of(self.h_pts, self.size_h, self.msm_chunk_g1)
+
+        # MSM implementation: 'suffix' (default; sort + Ladner-Fischer
+        # prefix scan, ~2N adds/window, one window combine per MSM —
+        # msm/suffix.py) or 'hs' (round-2 Hillis-Steele segmented scan,
+        # N·log N adds/window and a window combine per CHUNK).
+        self.msm_impl = os.environ.get("ZEROCHAIN_MSM_IMPL", "suffix")
+        if self.msm_impl == "suffix":
+            self.msm_g1 = smsm.SuffixMsm(FqOps)
+            self.msm_g2 = smsm.SuffixMsm(Fq2Ops)
+        else:
+            # per-group scan-mode knobs: 'assoc' costs ~log2(N) extra
+            # Mosaic kernel compiles but ~6.5x fewer point-adds
+            self.msm_g1 = pip.Msm(
+                FqOps, mode=os.environ.get("ZEROCHAIN_MSM_SCAN_G1") or None
+            )
+            self.msm_g2 = pip.Msm(
+                Fq2Ops, mode=os.environ.get("ZEROCHAIN_MSM_SCAN_G2") or None
+            )
         self._assemble = jax.jit(self._assemble_impl)
+        self._quotient = jax.jit(self._quotient_impl)
+        self._digits = jax.jit(self._digits_impl)
 
         # multi-chip: shard each MSM chunk's points over the mesh with an
         # all-gathered partial-sum reduction (dist/msm.py).  Opt-in via
@@ -155,6 +185,11 @@ class ConfidentialProver:
                 from jax.sharding import Mesh
 
                 self.mesh = Mesh(np.asarray(devs), ("pt",))
+                if self.msm_impl == "suffix":
+                    # dist/msm.py shards the round-2 bit-based kernels
+                    self.msm_impl = "hs"
+                    self.msm_g1 = pip.Msm(FqOps)
+                    self.msm_g2 = pip.Msm(Fq2Ops)
 
     def _prep(self, pts, cols, n, chunk):
         """Gather dense columns, pad to a chunk multiple; -> (pts, size)."""
@@ -208,6 +243,55 @@ class ConfidentialProver:
                 # overlaps their HBM temps and can crash the worker
                 jax.tree_util.tree_leaves(acc)[0].block_until_ready()
         return acc
+
+    @staticmethod
+    def _true_sync(x, label=""):
+        """Force REAL device completion by fetching one element.
+
+        block_until_ready through the tunneled worker has been observed
+        returning early, which makes stage marks fiction; a value fetch
+        cannot lie.  Costs ~25 ms tunnel round trip per call — only for
+        ZEROCHAIN_STAGE_SYNC=1 diagnosis runs."""
+        if not int(os.environ.get("ZEROCHAIN_STAGE_SYNC", "0")):
+            return
+        import sys as _s
+        import time as _t
+
+        t0 = _t.time()
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(jax.jit(lambda a: a.reshape(-1)[:1])(leaf))
+        print(f"#   sync[{label}] +{_t.time()-t0:.2f}s", file=_s.stderr,
+              flush=True)
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _acc_add_jit(field):
+        """Jitted per-window partial accumulate (fused kernels forced:
+        (nw, B) batches sit under the Pallas batch heuristic)."""
+        from ..ff import pallas_ff as PF
+
+        def f(a, b):
+            with PF.forced():
+                return W.add(field, a, b)
+
+        return jax.jit(f)
+
+    def _msm_chunked_suffix(self, field, pts_chunks, digit_chunks):
+        """Suffix-MSM chunk loop over PRE-SLICED point/digit chunks: one
+        jit dispatch per chunk + one accumulate + one combine — no eager
+        ops (each costs a tunnel round trip), and the Horner window
+        combine runs ONCE per MSM."""
+        msm = self.msm_g1 if field is FqOps else self.msm_g2
+        acc = None
+        for cpts, cdig in zip(pts_chunks, digit_chunks):
+            part = msm.window_partials(cpts, cdig)
+            acc = part if acc is None else self._acc_add_jit(field)(acc, part)
+            if self.serialize_chunks:
+                jax.tree_util.tree_leaves(acc)[0].block_until_ready()
+            self._true_sync(acc, "chunk")
+        out = msm.combine(acc)
+        self._true_sync(out, "combine")
+        return out
 
     @classmethod
     def from_toxic_waste(cls, tau, alpha, beta, gamma, delta,
@@ -312,6 +396,34 @@ class ConfidentialProver:
         return cls(None, _device_queries=queries, _vk=vk)
 
     # ------------------------------------------------------------------
+    def _quotient_impl(self, aux, public):
+        """One jit for the whole front half after witness synthesis:
+        witness concat + quotient NTTs (every eager op between jits costs
+        a tunnel round trip)."""
+        witness_mont = jnp.concatenate([public, aux], axis=1)
+        return witness_mont, self._h_scalars(witness_mont)
+
+    def _digits_impl(self, witness_mont, h_scalars):
+        """All five MSMs' padded, chunk-split digit arrays in ONE jit."""
+        wit_canon = L.from_mont(FR, witness_mont)
+        h_canon = L.from_mont(FR, h_scalars)
+
+        def digs(limbs, msm, size, chunk):
+            d = smsm.digits_from_limbs(limbs, msm.c, msm.n_windows)
+            d = self._pad_bits(d, size)
+            return [d[:, off : off + chunk]
+                    for off in range(0, size, chunk)]
+
+        g1, g2 = self.msm_g1, self.msm_g2
+        cg1, cg2 = self.msm_chunk_g1, self.msm_chunk_g2
+        return (
+            digs(wit_canon[:, self.a_cols], g1, self.size_a, cg1),
+            digs(wit_canon[:, self.b_cols], g1, self.size_b1, cg1),
+            digs(wit_canon[:, self.b_cols], g2, self.size_b2, cg2),
+            digs(wit_canon[:, self.num_inputs :], g1, self.size_l, cg1),
+            digs(h_canon, g1, self.size_h, cg1),
+        )
+
     def _h_scalars(self, witness_mont):
         """witness (L, n_vars, B) -> quotient coeffs (L, d-1, B) mont."""
         a_v, b_v, c_v = self.matrices.eval(witness_mont)
@@ -335,14 +447,33 @@ class ConfidentialProver:
 
     # ------------------------------------------------------------------
     def _assemble_impl(self, a_acc, b1_acc, b2_acc, l_acc, h_acc,
-                       r_bits, s_bits):
-        """Per-proof accumulators (leaf batch (B,)) + r/s bits (255, B) ->
-        normalized affine proof coordinates, one flat int32 vector."""
+                       r_bits, s_bits, rs_bits):
+        """Per-proof accumulators (leaf batch (B,)) + r/s/(r*s) bits
+        (255, B) -> normalized affine proof coordinates, one flat int32
+        vector.
+
+        The six double-and-add chains of the round-2 version are batched
+        into THREE 255-step scans: {r,s,r*s}*delta1 ride one G1 scan
+        (r*s is computed host-side so the chains stay independent),
+        {s*A, r*B1} a second, s*delta2 the G2 one."""
+        from ..ff import pallas_ff as PF
+
+        with PF.forced():
+            return self._assemble_body(
+                a_acc, b1_acc, b2_acc, l_acc, h_acc, r_bits, s_bits, rs_bits
+            )
+
+    def _assemble_body(self, a_acc, b1_acc, b2_acc, l_acc, h_acc,
+                       r_bits, s_bits, rs_bits):
         B = r_bits.shape[1]
 
-        def bcast_g1(p):
+        def bcast_g1(p, k=None):
+            shape = ((B,) if k is None else (k, B))
             return pip.tmap(
-                lambda a: jnp.broadcast_to(a, a.shape[:-1] + (B,)), p
+                lambda a: jnp.broadcast_to(
+                    a.reshape(a.shape[0], *([1] * len(shape))),
+                    (a.shape[0], *shape)
+                ), p
             )
 
         def bcast_g2(p):
@@ -355,8 +486,14 @@ class ConfidentialProver:
                 p,
             )
 
-        r_delta1 = W.scalar_mul_bits_jac(FqOps, bcast_g1(self.delta_g1), r_bits)
-        s_delta1 = W.scalar_mul_bits_jac(FqOps, bcast_g1(self.delta_g1), s_bits)
+        # scan 1: {r, s, rs} * delta1 in one (3, B)-wide G1 chain
+        rss_bits = jnp.stack([r_bits, s_bits, rs_bits], axis=1)  # (255,3,B)
+        deltas = W.scalar_mul_bits_jac(
+            FqOps, bcast_g1(self.delta_g1, 3), rss_bits
+        )
+        r_delta1 = pip.tmap(lambda a: a[..., 0, :], deltas)
+        s_delta1 = pip.tmap(lambda a: a[..., 1, :], deltas)
+        rs_delta = pip.tmap(lambda a: a[..., 2, :], deltas)
         s_delta2 = W.scalar_mul_bits_jac(Fq2Ops, bcast_g2(self.delta_g2), s_bits)
 
         # A = alpha + sum_a + r*delta
@@ -368,10 +505,14 @@ class ConfidentialProver:
         # B1 = beta1 + sum_b1 + s*delta1
         b1_full = W.add(FqOps, bcast_g1(self.beta_g1), b1_acc)
         b1_full = W.add(FqOps, b1_full, s_delta1)
-        # C = s*A + r*B1 - rs*delta + l + h
-        sA = W.scalar_mul_bits_jac(FqOps, g_a, s_bits)
-        rB1 = W.scalar_mul_bits_jac(FqOps, b1_full, r_bits)
-        rs_delta = W.scalar_mul_bits_jac(FqOps, r_delta1, s_bits)
+        # scan 2: C = s*A + r*B1 - rs*delta + l + h
+        ab1 = jax.tree.map(
+            lambda x, y: jnp.stack([x, y], axis=1), g_a, b1_full
+        )
+        sr_bits = jnp.stack([s_bits, r_bits], axis=1)  # (255, 2, B)
+        muls = W.scalar_mul_bits_jac(FqOps, ab1, sr_bits)
+        sA = pip.tmap(lambda a: a[..., 0, :], muls)
+        rB1 = pip.tmap(lambda a: a[..., 1, :], muls)
         g_c = W.add(FqOps, sA, rB1)
         g_c = W.add(FqOps, g_c, W.neg(FqOps, rs_delta))
         g_c = W.add(FqOps, g_c, l_acc)
@@ -417,33 +558,46 @@ class ConfidentialProver:
         inputs = inputs_host(assignments)
         aux, public = witness_jit(**inputs)
         jax.tree_util.tree_leaves(aux)[0].block_until_ready()
+        self._true_sync(aux, "witness")
         _mark("witness done")
-        witness_mont = jnp.concatenate([public, aux], axis=1)
-
-        h_scalars = self._h_scalars(witness_mont)
-        h_scalars.block_until_ready()
-        _mark("quotient (NTT) done")
-
-        wit_canon = L.from_mont(FR, witness_mont)
-        h_canon = L.from_mont(FR, h_scalars)
-        wit_bits = pip.limbs_to_bits(wit_canon, 255)  # (255, n_vars, B)
-        h_bits = pip.limbs_to_bits(h_canon, 255)
 
         # all five MSMs carry the whole proof batch B in one kernel pass
         # (the reference's bellman loops per proof; SURVEY.md §3.2) and
         # run at their dense (density-gathered) sizes
-        ab = self._pad_bits(wit_bits[:, self.a_cols], self.size_a)
-        bb = self._pad_bits(wit_bits[:, self.b_cols], self.size_b1)
-        bb2 = self._pad_bits(wit_bits[:, self.b_cols], self.size_b2)
-        lb = self._pad_bits(wit_bits[:, self.num_inputs :], self.size_l)
-        hb = self._pad_bits(h_bits, self.size_h)
-        a_acc = self._msm_chunked(FqOps, self.a_pts, ab, self.size_a)
-        _mark("msm A done")
-        b1_acc = self._msm_chunked(FqOps, self.b1_pts, bb, self.size_b1)
-        b2_acc = self._msm_chunked(Fq2Ops, self.b2_pts, bb2, self.size_b2)
-        _mark("msm B1/B2 done")
-        l_acc = self._msm_chunked(FqOps, self.l_pts, lb, self.size_l)
-        h_acc = self._msm_chunked(FqOps, self.h_pts, hb, self.size_h)
+        if self.msm_impl == "suffix":
+            witness_mont, h_scalars = self._quotient(aux, public)
+            self._true_sync(h_scalars, "quotient")
+            _mark("quotient (NTT) done")
+            ab, bb, bb2, lb, hb = self._digits(witness_mont, h_scalars)
+            a_acc = self._msm_chunked_suffix(FqOps, self.a_chunks, ab)
+            _mark("msm A done")
+            b1_acc = self._msm_chunked_suffix(FqOps, self.b1_chunks, bb)
+            b2_acc = self._msm_chunked_suffix(Fq2Ops, self.b2_chunks, bb2)
+            _mark("msm B1/B2 done")
+            l_acc = self._msm_chunked_suffix(FqOps, self.l_chunks, lb)
+            h_acc = self._msm_chunked_suffix(FqOps, self.h_chunks, hb)
+        else:
+            witness_mont = jnp.concatenate([public, aux], axis=1)
+            h_scalars = self._h_scalars(witness_mont)
+            h_scalars.block_until_ready()
+            _mark("quotient (NTT) done")
+            wit_canon = L.from_mont(FR, witness_mont)
+            h_canon = L.from_mont(FR, h_scalars)
+            wit_bits = pip.limbs_to_bits(wit_canon, 255)  # (255, n_vars, B)
+            h_bits = pip.limbs_to_bits(h_canon, 255)
+            ab = self._pad_bits(wit_bits[:, self.a_cols], self.size_a)
+            bb = self._pad_bits(wit_bits[:, self.b_cols], self.size_b1)
+            bb2 = self._pad_bits(wit_bits[:, self.b_cols], self.size_b2)
+            lb = self._pad_bits(wit_bits[:, self.num_inputs :], self.size_l)
+            hb = self._pad_bits(h_bits, self.size_h)
+            run = self._msm_chunked
+            a_acc = run(FqOps, self.a_pts, ab, self.size_a)
+            _mark("msm A done")
+            b1_acc = run(FqOps, self.b1_pts, bb, self.size_b1)
+            b2_acc = run(Fq2Ops, self.b2_pts, bb2, self.size_b2)
+            _mark("msm B1/B2 done")
+            l_acc = run(FqOps, self.l_pts, lb, self.size_l)
+            h_acc = run(FqOps, self.h_pts, hb, self.size_h)
 
         if rs is None:
             rs = [
@@ -455,6 +609,7 @@ class ConfidentialProver:
             ]
         r_bits = pip.scalars_to_bits([r for r, _ in rs], 255)
         s_bits = pip.scalars_to_bits([s for _, s in rs], 255)
+        rs_bits = pip.scalars_to_bits([r * s % R for r, s in rs], 255)
 
         _mark("msms done")
         if os.environ.get("ZEROCHAIN_HOST_ASSEMBLE"):
@@ -462,7 +617,7 @@ class ConfidentialProver:
                 a_acc, b1_acc, b2_acc, l_acc, h_acc, rs, B
             )
         flat = self._assemble(
-            a_acc, b1_acc, b2_acc, l_acc, h_acc, r_bits, s_bits
+            a_acc, b1_acc, b2_acc, l_acc, h_acc, r_bits, s_bits, rs_bits
         )
         flat.block_until_ready()
         _mark("assemble done")
