@@ -133,9 +133,20 @@ def _kernel_microbench():
     return out
 
 
+def _sync(x):
+    """Force REAL device completion: block_until_ready through the axon
+    tunnel has been observed returning early; a value fetch cannot lie."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.jit(lambda a: a.reshape(-1)[:1])(leaf))
+
+
 def _full_kernel_bench():
-    """BASELINE configs[1]-ish: MSM points/s at 2^20 and NTT 2^20 latency
-    on the one attached chip.  BENCH_FULL=1 (slow: extra compiles)."""
+    """BASELINE configs[1]-ish: MSM point-scalar/s at 2^20 and NTT 2^20
+    latency on the one attached chip.  BENCH_FULL=1 (slow: extra
+    compiles).  All timings fetch-synced."""
     import time
 
     import jax
@@ -147,13 +158,14 @@ def _full_kernel_bench():
     from zerochain_tpu.ff import limbs as L
     from zerochain_tpu.mirror import curves as cv
     from zerochain_tpu.msm import pippenger as pip
+    from zerochain_tpu.msm.suffix import SuffixMsm
     from zerochain_tpu.ntt import plan_for
 
     out = {}
-    # --- MSM 2^20: one base set replicated on device (content-independent
-    # throughput; random scalars), timed over the chunked kernel ---
+    # --- MSM at 2^20 point-scalar pairs: chunked suffix kernel over a
+    # tiled base set, batch axis 8 (the prover's shape), random digits ---
+    chunk, B = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "8192")), 8
     n = 1 << 20
-    chunk = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "8192"))
     base = jg1.from_affine_host(
         [cv.g1_mul(cv.G1_GEN, 3 + i) for i in range(64)]
     )
@@ -161,30 +173,90 @@ def _full_kernel_bench():
         lambda a: jnp.tile(a, (1,) * (a.ndim - 1) + (chunk // 64,)), base
     )
     rng = np.random.RandomState(0)
-    bits = jnp.asarray(rng.randint(0, 2, size=(255, chunk)), jnp.int32)
-    msm = pip.Msm(FqOps)
-    res = msm(pts_chunk, bits)
-    jax.tree_util.tree_leaves(res)[0].block_until_ready()
+    msm = SuffixMsm(FqOps)
+    digs = [
+        jnp.asarray(rng.randint(0, 1 << msm.c,
+                                (msm.n_windows, chunk, B)), jnp.int32)
+        for _ in range(4)
+    ]
+    _sync(msm.window_partials(pts_chunk, digs[0]))
+    iters = max(1, n // (chunk * B))
     t0 = time.time()
-    iters = max(1, n // chunk)
-    for _ in range(iters):
-        res = msm(pts_chunk, bits)
-    jax.tree_util.tree_leaves(res)[0].block_until_ready()
+    for i in range(iters):
+        res = msm.window_partials(pts_chunk, digs[i % len(digs)])
+    _sync(res)
     dt = time.time() - t0
-    out["msm_g1_points_per_sec"] = round(iters * chunk / dt)
-    out["msm_2e20_secs"] = round(dt * (n / (iters * chunk)), 3)
+    out["msm_g1_point_scalars_per_sec"] = round(iters * chunk * B / dt)
+    out["msm_2e20_secs"] = round(dt * (n / (iters * chunk * B)), 3)
 
     # --- NTT 2^20 latency ---
     d = 1 << 20
     plan = plan_for(d)
     x = jnp.asarray(rng.randint(0, 1 << 12, size=(L.FR.n, 1, d)), jnp.int32)
     y = plan.ntt(x)
-    y.block_until_ready()
+    _sync(y)
     t0 = time.time()
     for _ in range(5):
         y = plan.ntt(y)
-    y.block_until_ready()
+    _sync(y)
     out["ntt_2e20_ms"] = round((time.time() - t0) / 5 * 1e3, 2)
+    return out
+
+
+ANON_PARAMS_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_params_anon.npz"
+)
+
+
+def _anon_bench(batch):
+    """AnonymousTransfer proving throughput (BENCH_ANON=1): the heavier
+    half of the reference's proving surface (~50k constraints, 105
+    inputs; anonymous_transfer.rs:57)."""
+    import time
+
+    from zerochain_tpu.prover_tpu.pipeline import AnonymousProver
+
+    t0 = time.time()
+    if os.path.exists(ANON_PARAMS_CACHE):
+        prover = AnonymousProver.from_cache(ANON_PARAMS_CACHE)
+        print(f"# anon CRS loaded from cache in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    else:
+        prover = AnonymousProver.from_toxic_waste(
+            tau=0xA11CE, alpha=0xB0B, beta=0xCA51, gamma=0xD00D,
+            delta=0xE66,
+        )
+        print(f"# anon CRS generated in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        try:
+            prover.save_queries(ANON_PARAMS_CACHE)
+        except Exception as e:  # noqa: BLE001
+            print(f"# anon CRS cache write failed: {e}", file=sys.stderr)
+
+    from zerochain_tpu.prover_tpu.witness_anon import bench_assignments
+
+    assignments = bench_assignments(batch)
+    t0 = time.time()
+    prover.prove(assignments, rs=[(3 + i, 5 + i) for i in range(batch)])
+    print(f"# anon warm-up ({batch} proofs): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    proofs = prover.prove(assignments,
+                          rs=[(7 + i, 9 + i) for i in range(batch)])
+    dt = time.time() - t0
+    out = {
+        "anonymous_proofs_per_sec": round(batch / dt, 4),
+        "anon_steady_state_secs": round(dt, 2),
+    }
+
+    from zerochain_tpu.groth16.core import (
+        prepare_verifying_key, verify_proof,
+    )
+
+    pvk = prepare_verifying_key(prover.vk)
+    pub = prover.public_inputs(assignments[:1])[0]
+    assert verify_proof(pvk, proofs[0], pub), "anon proof failed"
+    print("# anon proof verified", file=sys.stderr)
     return out
 
 
@@ -232,6 +304,16 @@ def main():
         ),
         flush=True,
     )
+
+    if os.environ.get("BENCH_ANON"):
+        # secondary metric (heavier anonymous circuit); printed as a
+        # comment so the driver's one-JSON-line contract holds
+        try:
+            anon = _anon_bench(int(os.environ.get("BENCH_ANON_BATCH", "8")))
+            print(f"# anon metrics: {json.dumps(anon)}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# anon bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     # correctness gate AFTER the number: the first proof must verify
     # against the (host mirror) Groth16 verifier and a perturbed input

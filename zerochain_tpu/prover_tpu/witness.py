@@ -510,7 +510,27 @@ def confidential_witness(
     return aux, public
 
 
-confidential_witness_jit = jax.jit(confidential_witness)
+def _maybe_forced(fn):
+    """Trace the witness graph with every field op routed to the fused
+    Pallas kernels (ZEROCHAIN_WITNESS_PALLAS=0 restores the composed
+    path).  The witness scans run thousands of small-width Fr ops in
+    sequence; composed carry-scan graphs execute them at ~60us apiece on
+    the tunneled worker, fused kernel calls at a fraction of that.
+    No-op off-TPU (forced() keeps the composed path there)."""
+    import os as _os
+
+    def wrapped(*args, **kwargs):
+        if _os.environ.get("ZEROCHAIN_WITNESS_PALLAS", "1") == "0":
+            return fn(*args, **kwargs)
+        from ..ff import pallas_ff as PF
+
+        with PF.forced():
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+confidential_witness_jit = jax.jit(_maybe_forced(confidential_witness))
 
 
 # ---------------------------------------------------------------- host API

@@ -308,7 +308,9 @@ def anonymous_witness(
     return aux, public
 
 
-anonymous_witness_jit = jax.jit(anonymous_witness)
+from .witness import _maybe_forced
+
+anonymous_witness_jit = jax.jit(_maybe_forced(anonymous_witness))
 
 
 # ---------------------------------------------------------------- host API
@@ -359,3 +361,63 @@ def witness_inputs_host(assignments: list[dict]):
         pgk=affine_mont_host(get("pgk")),
         gep=affine_mont_host(get("g_epoch")),
     )
+
+
+def bench_assignments(n: int) -> list[dict]:
+    """Self-contained AnonymousTransfer witness dicts for benchmarking:
+    one real sender/recipient pair hidden among 10 decoys
+    (ANONIMITY_SIZE=12, core/proofs/src/constants.rs:1-2)."""
+    from ..mirror import jubjub as jj
+    from ..mirror.field import S
+    from ..protocol.elgamal import Ciphertext
+    from ..protocol.keys import EncryptionKey, ProofGenerationKey
+
+    g_epoch = jj.find_group_hash(b"\x09\x00\x00\x00", b"zcgepoch")
+    out = []
+    for k in range(n):
+        seed = b"anon-bench-%d" % k
+        amount, remaining, current = 10, 90, 100
+        s_index, t_index = (3 + k) % 12, (7 + 5 * k) % 12
+        if s_index == t_index:
+            t_index = (t_index + 1) % 12
+        pgk = ProofGenerationKey.from_seed(seed)
+        dec_key = pgk.into_decryption_key()
+        ek_sender = EncryptionKey.from_decryption_key(dec_key)
+        ek_recipient = EncryptionKey.from_seed(seed + b"recipient")
+        decoys = [
+            EncryptionKey.from_seed(seed + b"decoy %d" % i).point
+            for i in range(10)
+        ]
+        randomness = int.from_bytes(seed.ljust(32, b"r"), "little") % S
+        alpha = int.from_bytes(seed.ljust(32, b"a"), "big") % S
+
+        lo, hi = sorted((s_index, t_index))
+
+        def insert_pair(lst, s_val, t_val):
+            res = list(lst)
+            res.insert(lo, s_val if lo == s_index else t_val)
+            res.insert(hi, s_val if hi == s_index else t_val)
+            return res
+
+        enc_keys = insert_pair(decoys, ek_sender.point, ek_recipient.point)
+        lcs = insert_pair(
+            [Ciphertext.encrypt(0, randomness, EncryptionKey(d)).left
+             for d in decoys],
+            Ciphertext.neg_encrypt(amount, randomness, ek_sender).left,
+            Ciphertext.encrypt(amount, randomness, ek_recipient).left,
+        )
+        balances = insert_pair(
+            [Ciphertext.encrypt(10 + i, (0x100 + i) % S, EncryptionKey(d))
+             for i, d in enumerate(decoys)],
+            Ciphertext.encrypt(current, 0x71, ek_sender),
+            Ciphertext.encrypt(55, 0x72, ek_recipient),
+        )
+        out.append(dict(
+            amount=amount, remaining_balance=remaining,
+            s_index=s_index, t_index=t_index, dec_key=dec_key.fs,
+            randomness=randomness, alpha=alpha, enc_keys=enc_keys,
+            left_ciphertexts=lcs,
+            enc_balances=[(b.left, b.right) for b in balances],
+            pgk=pgk.point, g_epoch=g_epoch,
+        ))
+    return out

@@ -41,7 +41,9 @@ def mini_witness(amount_u32):
     return em.concat(), public
 
 
-mini_witness_jit = jax.jit(mini_witness)
+from .witness import _maybe_forced
+
+mini_witness_jit = jax.jit(_maybe_forced(mini_witness))
 
 
 def witness_inputs_host(assignments: list[dict]):
