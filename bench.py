@@ -263,7 +263,10 @@ def _anon_bench(batch):
 def main():
     _setup_jax()
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # chunk-serialization off by default: the blocks don't reliably block
+    # through the tunnel anyway, and the B=32 runs are stable without
+    os.environ.setdefault("ZEROCHAIN_SERIALIZE_CHUNKS", "0")
     kernels = {}
     try:
         kernels = _kernel_microbench()
