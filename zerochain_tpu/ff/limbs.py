@@ -383,9 +383,16 @@ def batch_inv_mont(spec: FieldSpec, a, axis=-1):
     """Montgomery-trick batched inverse along a batch axis.
 
     Mirrors batch_normalization's strategy (ec.rs:246): one field inverse
-    plus O(B) multiplications via prefix products — here as log-depth
-    ``associative_scan`` over the batch axis.  Zero entries yield garbage
-    (callers mask; matches reference which skips zeros).
+    plus O(B log B) multiplications, ALL at log depth — a forward and a
+    reverse ``associative_scan`` give prefix/suffix products, then
+
+        a_i^{-1} = prefix_{i-1} * suffix_{i+1} * total^{-1}
+
+    (prefix_{i-1} * suffix_{i+1} = total / a_i).  The earlier sequential
+    suffix pass scanned the whole batch axis one element at a time — tens
+    of thousands of dependent batch-1 muls inside the witness graph, which
+    dominated proving wall time.  Zero entries yield zero (callers mask;
+    matches reference which skips zeros).
     """
     if axis < 0:
         axis = a.ndim + axis
@@ -396,31 +403,36 @@ def batch_inv_mont(spec: FieldSpec, a, axis=-1):
     a_safe = jnp.where(zmask[None], one, a)
 
     mulf = partial(mont_mul, spec)
+    k = a.shape[axis]
     prefix = jax.lax.associative_scan(mulf, a_safe, axis=axis)
+    suffix = jax.lax.associative_scan(mulf, a_safe, axis=axis, reverse=True)
     total_inv = inv_mont(
-        spec, jax.lax.index_in_dim(prefix, a.shape[axis] - 1, axis=axis,
-                                   keepdims=False)
+        spec, jax.lax.index_in_dim(prefix, k - 1, axis=axis, keepdims=False)
     )
 
-    # suffix pass: inv_i = prefix_{i-1} * suffix_inv_i
-    def scan_body(carry, x):
-        pref_prev, elem = x
-        inv_i = mont_mul(spec, carry, pref_prev)
-        carry = mont_mul(spec, carry, elem)
-        return carry, inv_i
+    one_plane = jnp.asarray(
+        _int_to_limbs(spec.r_mod_p, spec.n), jnp.int32
+    ).reshape((spec.n,) + (1,) * (a.ndim - 1))
 
-    # move axis to 0 of batch for lax.scan over it (keep limb axis inside)
-    a_m = jnp.moveaxis(a_safe, axis, 0)
-    prefix_m = jnp.moveaxis(prefix, axis, 0)
-    ones_like_first = ones_mont(spec, a_m[0].shape[1:])
-    pref_prev = jnp.concatenate(
-        [ones_like_first[None], prefix_m[:-1]], axis=0
+    def shift(x, before: bool):
+        """Drop one slice and pad with Montgomery one on the other side."""
+        pad = jnp.broadcast_to(
+            one_plane, x.shape[:axis] + (1,) + x.shape[axis + 1 :]
+        )
+        if before:  # prefix_{i-1}: [one, prefix_0 .. prefix_{k-2}]
+            body = jax.lax.slice_in_dim(x, 0, k - 1, axis=axis)
+            return jnp.concatenate([pad, body], axis=axis)
+        # suffix_{i+1}: [suffix_1 .. suffix_{k-1}, one]
+        body = jax.lax.slice_in_dim(x, 1, k, axis=axis)
+        return jnp.concatenate([body, pad], axis=axis)
+
+    others = mulf(shift(prefix, True), shift(suffix, False))
+    invs = mulf(
+        others,
+        jnp.broadcast_to(
+            jnp.expand_dims(total_inv, axis), a.shape
+        ),
     )
-    # scan from the end backwards
-    _, invs = jax.lax.scan(
-        scan_body, total_inv, (pref_prev[::-1], a_m[::-1])
-    )
-    invs = jnp.moveaxis(invs[::-1], 0, axis)
     return jnp.where(zmask[None], jnp.zeros_like(a), invs)
 
 
