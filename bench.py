@@ -17,6 +17,7 @@ a verification failure exits non-zero after printing.
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -25,6 +26,53 @@ BASELINE_PROOFS_PER_SEC = 100.0
 PARAMS_CACHE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_params.npz"
 )
+
+# ----------------------------------------------------------------- watchdog
+# The driver kills bench at a hard wall (~1600-1800s observed); round 3
+# lost its number because the cold-compile warm-up at batch 32 finished
+# ~90s after the kill.  This printer guarantees the ONE JSON line lands by
+# BENCH_DEADLINE_SECS even if the steady-state run (or the correctness
+# gate) is still in flight: whoever calls _publish() first wins, and the
+# watchdog publishes the best measurement recorded so far at the deadline.
+_T0 = time.time()
+DEADLINE = float(os.environ.get("BENCH_DEADLINE_SECS", "1450"))
+_result_lock = threading.Lock()
+_best: dict = {}
+_published = False
+
+
+def _record(payload: dict) -> None:
+    """Remember the best-so-far measurement (higher proofs/s wins)."""
+    with _result_lock:
+        if not _best or payload.get("value", 0) >= _best.get("value", 0):
+            _best.clear()
+            _best.update(payload)
+
+
+def _publish(reason: str = "") -> None:
+    """Print the ONE JSON line (first caller wins; later calls no-op)."""
+    global _published
+    with _result_lock:
+        if _published or not _best:
+            return
+        _published = True
+        if reason:
+            print(f"# publishing ({reason})", file=sys.stderr, flush=True)
+        print(json.dumps(_best), flush=True)
+
+
+def _start_watchdog() -> None:
+    def run():
+        while True:
+            left = DEADLINE - (time.time() - _T0)
+            if left <= 0:
+                _publish("watchdog deadline")
+                return
+            if _published:
+                return
+            time.sleep(min(left, 5.0))
+
+    threading.Thread(target=run, daemon=True).start()
 
 
 def _setup_jax():
@@ -262,6 +310,7 @@ def _anon_bench(batch):
 
 def main():
     _setup_jax()
+    _start_watchdog()
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     # chunk-serialization off by default: the blocks don't reliably block
@@ -286,6 +335,20 @@ def main():
     warm = time.time() - t0
     print(f"# warm-up ({batch} proofs incl. compile): {warm:.1f}s",
           file=sys.stderr)
+    # pessimistic floor (includes compile): lets the watchdog publish a
+    # real, measured (if degraded) number should the steady run not finish
+    _record(
+        {
+            "metric": "confidential_proofs_per_sec",
+            "value": round(batch / warm, 4),
+            "unit": "proofs/s",
+            "vs_baseline": round(batch / warm / BASELINE_PROOFS_PER_SEC, 4),
+            "batch": batch,
+            "steady_state_secs": round(warm, 2),
+            "includes_compile": True,
+            **kernels,
+        }
+    )
 
     # timed steady-state run
     t0 = time.time()
@@ -293,20 +356,18 @@ def main():
     dt = time.time() - t0
     pps = batch / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "confidential_proofs_per_sec",
-                "value": round(pps, 4),
-                "unit": "proofs/s",
-                "vs_baseline": round(pps / BASELINE_PROOFS_PER_SEC, 4),
-                "batch": batch,
-                "steady_state_secs": round(dt, 2),
-                **kernels,
-            }
-        ),
-        flush=True,
+    _record(
+        {
+            "metric": "confidential_proofs_per_sec",
+            "value": round(pps, 4),
+            "unit": "proofs/s",
+            "vs_baseline": round(pps / BASELINE_PROOFS_PER_SEC, 4),
+            "batch": batch,
+            "steady_state_secs": round(dt, 2),
+            **kernels,
+        }
     )
+    _publish("steady state measured")
 
     if os.environ.get("BENCH_ANON"):
         # secondary metric (heavier anonymous circuit); printed as a
@@ -339,6 +400,11 @@ def _main_with_retries():
     try:
         main()
     except Exception as e:  # noqa: BLE001
+        if _best:
+            # a measurement exists: publish it rather than risk losing it
+            # to a crash-retry that may not finish before the driver wall
+            _publish(f"exception after measurement: {type(e).__name__}")
+            raise
         if attempt >= 2:
             raise
         print(f"# attempt {attempt} failed ({type(e).__name__}); retrying",

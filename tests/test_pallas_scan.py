@@ -1,0 +1,84 @@
+"""Column-major pallas scan (msm/pallas_scan.py) in interpret mode.
+
+The kernel normally needs a real TPU (Mosaic lowering); interpret mode
+runs the kernel body as plain jax ops on CPU, so the DEFAULT suite can
+check the depth-scan semantics and the logical<->physical index maps.
+The fused-add formula itself is covered bit-exactly by test_ec_kernels.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zerochain_tpu.ec import g1 as jg1
+from zerochain_tpu.ec import weierstrass as W
+from zerochain_tpu.ec.fields import FqOps
+from zerochain_tpu.ff import limbs as L
+from zerochain_tpu.ff import pallas_ff as PF
+from zerochain_tpu.mirror import curves as cv
+from zerochain_tpu.msm import pallas_scan as PS
+
+
+@pytest.fixture()
+def interpret_kernels(monkeypatch):
+    monkeypatch.setattr(PF, "INTERPRET", True)
+    PS._column_scan_kernel.cache_clear()
+    yield
+    PS._column_scan_kernel.cache_clear()
+
+
+def test_phys_perm_roundtrip():
+    n = 4096
+    perm = np.asarray(PS.phys_perm(n))
+    # p[j] = logical index stored at physical j; inverse is logical_to_phys
+    j = np.arange(n)
+    assert np.array_equal(
+        np.asarray(PS.logical_to_phys(jnp.asarray(perm[j]), n)), j
+    )
+    assert sorted(perm.tolist()) == list(range(n))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ZEROCHAIN_PALLAS_TESTS"),
+    reason="interpret-mode compile of the 96-plane kernel takes >20 min "
+    "on XLA:CPU; run explicitly with ZEROCHAIN_PALLAS_TESTS=1 (the TPU "
+    "path is exercised end-to-end by bench.py's Groth16 verification "
+    "gate every round)",
+)
+def test_column_scan_depth_prefixes(interpret_kernels):
+    """T=2 depth scan: physical (t=1, vl) must hold logical pair sums."""
+    n = 2048  # T = 2
+    t_depth = n // PS.VL
+    pts_aff = [cv.g1_mul(cv.G1_GEN, 3 + i) for i in range(8)]
+    base = jg1.from_affine_host(pts_aff)
+    pts = jax.tree.map(
+        lambda a: jnp.tile(a, (1,) * (a.ndim - 1) + (n // 8,)), base
+    )
+    # place points in column-major order: physical j holds logical i(j)
+    perm = PS.phys_perm(n)
+    pts_cm = jax.tree.map(lambda a: jnp.take(a, perm, axis=-1), pts)
+
+    pre = PS.column_scan(FqOps, pts_cm)
+
+    # logical element i is pts_aff[(i*...) % 8] tiled: logical i -> affine
+    def logical_aff(i):
+        return pts_aff[i % 8]
+
+    x, y, inf = W.normalize(FqOps, pre)
+    x = np.asarray(x)
+    y = np.asarray(y)
+    for vl in (0, 1, 130, 1023):
+        for t in range(t_depth):
+            j = t * PS.VL + vl
+            expect = None
+            for tt in range(t + 1):
+                expect = cv.g1_add(expect, logical_aff(vl * t_depth + tt))
+            got = (
+                L.from_limbs(L.FQ, x[:, j : j + 1], mont=True)[0],
+                L.from_limbs(L.FQ, y[:, j : j + 1], mont=True)[0],
+            )
+            assert got == expect, (vl, t)

@@ -133,13 +133,62 @@ def hs_prefix_scan(F, pts):
 
 def prefix_scan(F, pts):
     """Trace-time routing: work-efficient unrolled LF when the fused
-    Pallas kernels will run the adds, compile-compact HS otherwise."""
+    Pallas kernels will run the adds, compile-compact HS otherwise.
+    (The MSM itself no longer goes through here on TPU — see the
+    column-major pallas path in _group_partials.)"""
     from ..ff import pallas_ff as PF
 
     leaf = jax.tree_util.tree_leaves(pts)[0]
     if PF.use_pallas(leaf.shape):
         return lf_scan(F, pts)
     return hs_prefix_scan(F, pts)
+
+
+def exclusive_scan_last(F, pts):
+    """Exclusive group prefix scan along the last axis: HS inclusive
+    (one add instance via lax.scan) shifted right by one identity."""
+    inc = hs_prefix_scan(F, pts)
+    batch = jax.tree_util.tree_leaves(pts)[0].shape[:-1]
+    ident = W.identity(F, (*batch[1:], 1))
+    return jax.tree.map(
+        lambda x, i: jnp.concatenate(
+            [jnp.broadcast_to(i, (*x.shape[:-1], 1)), x[..., :-1]], axis=-1
+        ),
+        inc, ident,
+    )
+
+
+def scan_reduce_last(F, pts, n: int):
+    """Group-sum over the last axis via circular recursive doubling.
+
+    Pads to a pow2 width with identities, then lax.scans log2(width)
+    levels of x += roll(x, s): after the last level EVERY lane holds the
+    total (all-reduce pattern), so lane 0 is returned.  One point-add
+    instance total — the pairwise tree twin below unrolls log2(width)
+    halving-width instances, each embedding its own Mosaic payload when
+    the fused kernels are routed (the round-3 compile-time trap)."""
+    pad = 1 << max(0, (n - 1).bit_length())
+    if pad != n:
+        ident = W.identity(F, (pad - n,))
+
+        def extend(x, i):
+            i = i.reshape(i.shape[0], *([1] * (x.ndim - 2)), i.shape[-1])
+            return jnp.concatenate(
+                [x, jnp.broadcast_to(i, (*x.shape[:-1], pad - n))], axis=-1
+            )
+
+        pts = jax.tree.map(extend, pts, ident)
+    if pad == 1:
+        return tmap(lambda x: x[..., 0], pts)
+    n_levels = (pad - 1).bit_length()
+    shifts = jnp.asarray([1 << d for d in range(n_levels)], jnp.int32)
+
+    def level(x, s):
+        shifted = tmap(lambda a: jnp.roll(a, s, axis=-1), x)
+        return W.add(F, x, shifted), None
+
+    y, _ = jax.lax.scan(level, pts, shifts)
+    return tmap(lambda x: x[..., 0], y)
 
 
 def tree_sum_last(F, pts, n: int):
@@ -193,6 +242,9 @@ class SuffixMsm:
     # ------------------------------------------------------------------
     def _group_partials(self, points, digits_m):
         """points: leaves (L, N); digits_m: (g, *batch, N) -> (g, *batch)."""
+        from ..ff import pallas_ff as PF
+        from . import pallas_scan as PS
+
         F = self.F
         N = digits_m.shape[-1]
         lead = digits_m.shape[:-1]
@@ -205,11 +257,6 @@ class SuffixMsm:
             (digits_m, iota), dimension=-1, num_keys=1
         )
         order = order[..., ::-1]
-
-        pts_s = tmap(lambda a: jnp.take(a, order, axis=-1), points)
-        # leaves now (L, g, *batch, N)
-
-        pre = prefix_scan(F, pts_s)  # inclusive prefix sums, sorted points
 
         # cnt_ge[t] = #{i : d_i >= t} = N - searchsorted(keys_asc, t).
         # NB: no histogram scatter here — real witness digits are heavily
@@ -225,14 +272,62 @@ class SuffixMsm:
         idx = jnp.maximum(cnt - 1, 0)
         empty = cnt == 0
 
-        def gather(leaf):
-            ix = jnp.broadcast_to(idx, leaf.shape[:-1] + idx.shape[-1:])
-            return jnp.take_along_axis(leaf, ix, axis=-1)
+        use_cm = (
+            PF.use_pallas(points[0].shape if F.name == "fq"
+                          else points[0][0].shape)
+            and N % PS.VL == 0
+            and (N & (N - 1)) == 0
+            and not int(os.environ.get("ZEROCHAIN_SCAN_UNROLLED", "0"))
+        )
+        if use_cm:
+            # column-major two-phase scan (pallas_scan.py): the depth
+            # prefix runs in ONE in-VMEM kernel, the 1024 virtual-lane
+            # offsets are combined in XLA and applied only at the
+            # gathered bucket positions.
+            t_depth = N // PS.VL
+            perm = PS.phys_perm(N)
+            phys_order = jnp.take(order, perm, axis=-1)
+            pts_cm = tmap(
+                lambda a: jnp.take(a, phys_order, axis=-1), points
+            )
+            if t_depth > 1:
+                pre = PS.column_scan(F, pts_cm)
+            else:
+                pre = pts_cm
+            # virtual-lane totals live at depth T-1
+            tot = tmap(lambda a: a[..., (t_depth - 1) * PS.VL :], pre)
+            excl = exclusive_scan_last(F, tot)
 
-        picked = tmap(gather, pre)                 # (L, g, *batch, nb-1)
+            jphys = (idx % t_depth) * PS.VL + idx // t_depth
+            vl = idx // t_depth
+
+            def gather_at(ix):
+                def g(leaf):
+                    b = jnp.broadcast_to(
+                        ix, leaf.shape[:-1] + ix.shape[-1:]
+                    )
+                    return jnp.take_along_axis(leaf, b, axis=-1)
+
+                return g
+
+            picked = tmap(gather_at(jphys), pre)
+            offs = tmap(gather_at(vl), excl)
+            picked = W.add(F, picked, offs)
+        else:
+            pts_s = tmap(lambda a: jnp.take(a, order, axis=-1), points)
+            pre = prefix_scan(F, pts_s)  # inclusive prefix, sorted pts
+
+            def gather(leaf):
+                ix = jnp.broadcast_to(
+                    idx, leaf.shape[:-1] + idx.shape[-1:]
+                )
+                return jnp.take_along_axis(leaf, ix, axis=-1)
+
+            picked = tmap(gather, pre)             # (L, g, *batch, nb-1)
+
         ident = W.identity(F, empty.shape)
         picked = W.select(F, empty, ident, picked)
-        return tree_sum_last(F, picked, self.nb - 1)
+        return scan_reduce_last(F, picked, self.nb - 1)
 
     def _partials(self, points, digits):
         """points: Jacobian leaves (N,); digits (nw, N, *batch) ->
@@ -287,8 +382,13 @@ class SuffixMsm:
         nw = self.n_windows
 
         def comb(res, tw):
-            for _ in range(self.c):
-                res = W.double(F, res)
+            # fori_loop (not an unrolled python loop): ONE double
+            # instance in the module instead of c — the unrolled form
+            # put 8 copies of the fused-double Mosaic payload in every
+            # MSM module (compile cost, round-3 postmortem)
+            res = jax.lax.fori_loop(
+                0, self.c, lambda _, p: W.double(F, p), res
+            )
             return W.add(F, res, tw), None
 
         init = tmap(lambda a: _index_lead(a, nw - 1), totals)
