@@ -174,6 +174,308 @@ def _column_scan_kernel(ncomp: int, t_depth: int):
     return call
 
 
+@functools.lru_cache(maxsize=None)
+def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
+    """Full per-(group, proof) suffix-MSM tail in ONE pallas kernel.
+
+    Input: column-major sorted points (n, 1, T, 8, 128) per component +
+    a bucket-count tile (1, 1, 8, 128) holding cnt_ge[t] at flat slot
+    t-1 (slots 255..1023 ignored).  Output: the window total, one point
+    per program, broadcast over an (n, 1, 8, 128) tile.
+
+    Phases, all in VMEM (no HBM between them):
+      A. depth scan        — T-1 sequential (8,128) group adds
+      B. virtual-lane excl — 10 masked roll-adds over the totals tile
+      C. one-hot gather    — MXU f32 dot_generals pick prefix[cnt-1]
+                             and excl[vl] for all 255 buckets at once
+                             (XLA's gather read ~100 ms/group-step of
+                             HBM for the same operation)
+      D. bucket reduce     — 10 circular roll-adds -> one total
+
+    Empty buckets contribute all-zero gathered planes = Z=0 = the group
+    identity, so no separate select pass is needed."""
+    n = FQ.n
+    base = _ctx(n, Q)
+    c = base if ncomp == 1 else _fq2_ctx(base)
+    n_planes = 3 * ncomp * n
+
+    one_mont = PF._limbs_of(pow(2, PF.LIMB_BITS * n, Q), n)
+
+    def consts(shape):
+        zero1 = [jnp.zeros(shape, jnp.int32)] * n
+        onem1 = [jnp.full(shape, v, jnp.int32) for v in one_mont]
+        if ncomp == 1:
+            return onem1, zero1
+        return (onem1, zero1), (zero1, [x for x in zero1])
+
+    def _unflatten(planes):
+        coords = []
+        per = n * ncomp
+        for i in range(3):
+            chunk = planes[i * per : (i + 1) * per]
+            if ncomp == 1:
+                coords.append(list(chunk))
+            else:
+                coords.append((list(chunk[:n]), list(chunk[n:])))
+        return tuple(coords)
+
+    def _flatten(pt):
+        out = []
+        for coord in pt:
+            if ncomp == 1:
+                out.extend(coord)
+            else:
+                out.extend(coord[0])
+                out.extend(coord[1])
+        return out
+
+    def _iotas():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+        return lane, row, row * LANES + lane
+
+    def masked_shift_add(planes, s):
+        """One HS level over the flat (8,128) vl-space: planes +=
+        shift-by-s(planes), positions with flat < s kept unchanged."""
+        lane, row, flat = _iotas()
+        lane_s = jax.lax.rem(s, jnp.int32(LANES))
+        row_s = jax.lax.div(s, jnp.int32(LANES))
+
+        def shift(p):
+            a = pltpu.roll(p, lane_s, 1)
+            b_main = pltpu.roll(a, row_s, 0)
+            b_bor = pltpu.roll(a, row_s + 1, 0)
+            return jnp.where(lane >= lane_s, b_main, b_bor)
+
+        src_planes = [shift(p) for p in planes]
+        P = _unflatten(list(planes))
+        S = _unflatten(src_planes)
+        onem, zero = consts((SUBLANES, LANES))
+        merged = _add_planes(c, S, P, onem, zero)
+        merged_planes = _flatten(merged)
+        valid = flat >= s
+        return [
+            jnp.where(valid, m, p)
+            for m, p in zip(merged_planes, planes)
+        ]
+
+    def kernel(*refs):
+        cnt_ref = refs[3 * ncomp]
+        outs = refs[3 * ncomp + 1 : 3 * ncomp + 1 + 3 * ncomp]
+        scratch = refs[-1]
+        ins = refs[: 3 * ncomp]
+        lane, row, flat = _iotas()
+
+        # ---- copy in -> scratch (plane-major) ----
+        for ci, iref in enumerate(ins):
+            for k in range(n):
+                scratch[ci * n + k] = iref[k, 0]
+
+        onem, zero = consts((SUBLANES, LANES))
+
+        # ---- phase A: depth scan ----
+        def read_depth(t):
+            return [scratch[p, t] for p in range(n_planes)]
+
+        def write_depth(t, planes):
+            for p in range(n_planes):
+                scratch[p, t] = planes[p]
+
+        def body_a(t, _):
+            prev = _unflatten(read_depth(t - 1))
+            cur = _unflatten(read_depth(t))
+            res = _add_planes(c, prev, cur, onem, zero)
+            write_depth(t, _flatten(res))
+            return 0
+
+        if t_depth > 1:
+            jax.lax.fori_loop(1, t_depth, body_a, 0)
+
+        # ---- phase B: exclusive scan over the 1024 vl totals ----
+        ctot = read_depth(t_depth - 1)
+
+        def body_b(i, planes):
+            return tuple(masked_shift_add(list(planes), jnp.int32(1) << i))
+
+        inc = list(jax.lax.fori_loop(0, 10, body_b, tuple(ctot)))
+        # exclusive: shift by one vl; vl 0 gets all-zero (= identity)
+        def excl_shift(p):
+            a = pltpu.roll(p, 1, 1)
+            b = jnp.where(lane >= 1, a, pltpu.roll(a, 1, 0))
+            return jnp.where(flat >= 1, b, 0)
+
+        excl = [excl_shift(p) for p in inc]
+
+        # ---- phase C: one-hot gathers on the MXU ----
+        cnt = cnt_ref[0, 0]                      # (8,128) cnt_ge per slot
+        valid_slot = (flat < nb - 1) & (cnt > 0)
+        idx = jnp.maximum(cnt - 1, 0)
+        p_phys_t = jax.lax.rem(idx, jnp.int32(t_depth))
+        p_vl = jax.lax.div(idx, jnp.int32(t_depth))
+        vl_f = jnp.where(valid_slot, p_vl, -1).astype(jnp.float32)
+        pt_f = jnp.where(valid_slot, p_phys_t, -1).astype(jnp.float32)
+
+        vl_iota3 = jax.lax.broadcasted_iota(
+            jnp.float32, (SUBLANES, LANES, LANES), 2
+        )
+        # gathered[pl, slot] = sum_vl pre_t[pl, vl] * (vl == target_vl)
+        gathered = None
+        for t in range(t_depth):
+            planes_t = read_depth(t)
+            pre_f = jnp.stack(
+                [p.astype(jnp.float32) for p in planes_t], axis=1
+            )  # (8, P, 128) — batch dim leading for Mosaic's matmul
+            # oh[s_j, l_j, slot_lane] for each slot row
+            acc_rows = []
+            for srow in range(2):
+                tgt_vl = vl_f[srow].reshape(1, 1, LANES)
+                tgt_t = pt_f[srow].reshape(1, 1, LANES)
+                vl_here = (row * LANES + lane).astype(jnp.float32)
+                oh = jnp.where(
+                    (vl_here[:, :, None] == tgt_vl)
+                    & (tgt_t == float(t)),
+                    1.0, 0.0,
+                )  # (8, 128, 128)
+                # batch over sublanes: (8,P,128) x (8,128,128) -> (8,P,128)
+                part = jax.lax.dot_general(
+                    pre_f, oh,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_rows.append(jnp.sum(part, axis=0))  # (P, 128)
+            g_t = jnp.stack(acc_rows, axis=1)  # (P, 2, 128)
+            gathered = g_t if gathered is None else gathered + g_t
+
+        # offsets: excl[vl] per slot — same one-hot, single source tile
+        ex_f = jnp.stack(
+            [p.astype(jnp.float32) for p in excl], axis=1
+        )  # (8, P, 128)
+        off_rows = []
+        for srow in range(2):
+            tgt_vl = vl_f[srow].reshape(1, 1, LANES)
+            vl_here = (row * LANES + lane).astype(jnp.float32)
+            oh = jnp.where(
+                vl_here[:, :, None] == tgt_vl, 1.0, 0.0
+            )
+            part = jax.lax.dot_general(
+                ex_f, oh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            off_rows.append(jnp.sum(part, axis=0))
+        offs = jnp.stack(off_rows, axis=1)  # (P, 2, 128)
+
+        def to_tile(arr):  # (P, 2, 128) f32 -> list of (8,128) i32
+            arr = arr.astype(jnp.int32)
+            pad = jnp.zeros((n_planes, SUBLANES - 2, LANES), jnp.int32)
+            full = jnp.concatenate([arr, pad], axis=1)
+            return [full[p] for p in range(n_planes)]
+
+        g_planes = to_tile(gathered)
+        o_planes = to_tile(offs)
+        summed = _add_planes(
+            c, _unflatten(g_planes), _unflatten(o_planes), onem, zero
+        )
+        planes_s = _flatten(summed)
+
+        # ---- phase D: circular-doubling reduce over the 1024 slots ----
+        def body_d(i, planes):
+            planes = list(planes)
+            s = jnp.int32(1) << i
+
+            def rot(p):
+                lane_s = jax.lax.rem(s, jnp.int32(LANES))
+                row_s = jax.lax.div(s, jnp.int32(LANES))
+                a = pltpu.roll(p, lane_s, 1)
+                b_main = pltpu.roll(a, row_s, 0)
+                b_bor = pltpu.roll(a, row_s + 1, 0)
+                return jnp.where(lane >= lane_s, b_main, b_bor)
+
+            S = _unflatten([rot(p) for p in planes])
+            P = _unflatten(planes)
+            merged = _add_planes(c, S, P, onem, zero)
+            return tuple(_flatten(merged))
+
+        total = list(jax.lax.fori_loop(0, 10, body_d, tuple(planes_s)))
+
+        for ci, oref in enumerate(outs):
+            for k in range(n):
+                oref[k, 0] = total[ci * n + k]
+
+    pt_block = pl.BlockSpec(
+        (n, 1, t_depth, SUBLANES, LANES), lambda i: (0, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cnt_block = pl.BlockSpec(
+        (1, 1, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_block = pl.BlockSpec(
+        (n, 1, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    @jax.jit
+    def call(*args):
+        m = args[0].shape[1]
+        n_out = 3 * ncomp
+        return pl.pallas_call(
+            kernel,
+            grid=(m,),
+            in_specs=[pt_block] * (3 * ncomp) + [cnt_block],
+            out_specs=(out_block,) * n_out,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(
+                    (n, m, SUBLANES, LANES), jnp.int32
+                )
+                for _ in range(n_out)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (3 * ncomp * n, t_depth, SUBLANES, LANES), jnp.int32
+                )
+            ],
+            interpret=PF.INTERPRET,
+        )(*args)
+
+    return call
+
+
+def window_totals(F, pts_cm, cnt, nb: int = 256):
+    """Column-major sorted points + per-slot counts -> window totals.
+
+    pts_cm: Jacobian tuple, leaves (L, *lead, N) in column-major
+    physical order (phys_perm).  cnt: (*lead, 8, 128) int32 with
+    cnt_ge[t] at flat slot t-1.  Returns point leaves (*lead,)."""
+    assert nb <= VL + 1, "bucket slots must fit one (8,128) tile"
+    ncomp = 1 if F.name == "fq" else 2
+    leaves = []
+    for coord in pts_cm:
+        if ncomp == 1:
+            leaves.append(coord)
+        else:
+            leaves.extend(coord)
+    shape = leaves[0].shape
+    n = FQ.n
+    N = shape[-1]
+    t_depth = N // VL
+    lead = shape[1:-1]
+    m = 1
+    for d in lead:
+        m *= d
+
+    call = _totals_kernel(ncomp, t_depth, nb)
+    tiled = [x.reshape(n, m, t_depth, SUBLANES, LANES) for x in leaves]
+    cnt_t = cnt.reshape(1, m, SUBLANES, LANES)
+    outs = call(*tiled, cnt_t)
+    outs = [o[:, :, 0, 0].reshape((n, *lead)) for o in outs]
+    if ncomp == 1:
+        return (outs[0], outs[1], outs[2])
+    return (
+        (outs[0], outs[1]), (outs[2], outs[3]), (outs[4], outs[5])
+    )
+
+
 def column_scan(F, pts):
     """In-VMEM inclusive group prefix down the depth axis.
 

@@ -248,23 +248,36 @@ class SuffixMsm:
         F = self.F
         N = digits_m.shape[-1]
         lead = digits_m.shape[:-1]
+        nbits_idx = (N - 1).bit_length()
 
-        # sort ascending with an index payload, then view descending
+        # pack (digit, index) into ONE int32 key: a single-array sort
+        # moves half the data of the (key, payload) pair sort — measured
+        # 154 ms -> ~80 ms per (8, 32, 8192) group-step.  digit < 2^c
+        # (c <= 12) and index < 2^13 fit 25 bits.
         iota = jnp.broadcast_to(
             jax.lax.iota(jnp.int32, N), digits_m.shape
         )
-        keys_asc, order = jax.lax.sort(
-            (digits_m, iota), dimension=-1, num_keys=1
-        )
-        order = order[..., ::-1]
+        if self.c + nbits_idx > 31:  # packed key would overflow int32
+            keys_asc, order = jax.lax.sort(
+                (digits_m, iota), dimension=-1, num_keys=1
+            )
+            order = order[..., ::-1]
+            packed_asc = keys_asc
+            nbits_idx = 0
+        else:
+            packed = (digits_m << nbits_idx) | iota
+            packed_asc = jax.lax.sort(packed, dimension=-1)
+            order = (packed_asc & ((1 << nbits_idx) - 1))[..., ::-1]
 
-        # cnt_ge[t] = #{i : d_i >= t} = N - searchsorted(keys_asc, t).
+        # cnt_ge[t] = #{i : d_i >= t} = N - searchsorted(keys_asc, t)
+        # = N - searchsorted(packed_asc, t << nbits_idx) (index bits are
+        # below every threshold's digit bits).
         # NB: no histogram scatter here — real witness digits are heavily
         # skewed (thousands of zeros), and a scatter-add with colliding
         # indices serializes per duplicate on TPU (measured: 10-30x
         # slow-down of the whole MSM vs uniform-random digits).
-        ts = jnp.arange(1, self.nb, dtype=keys_asc.dtype)
-        flat_keys = keys_asc.reshape(-1, N)
+        ts = jnp.arange(1, self.nb, dtype=packed_asc.dtype) << nbits_idx
+        flat_keys = packed_asc.reshape(-1, N)
         pos = jax.vmap(
             lambda row: jnp.searchsorted(row, ts, side="left")
         )(flat_keys)
@@ -277,27 +290,34 @@ class SuffixMsm:
                           else points[0][0].shape)
             and N % PS.VL == 0
             and (N & (N - 1)) == 0
+            and self.nb - 1 <= PS.VL
             and not int(os.environ.get("ZEROCHAIN_SCAN_UNROLLED", "0"))
         )
         if use_cm:
-            # column-major two-phase scan (pallas_scan.py): the depth
-            # prefix runs in ONE in-VMEM kernel, the 1024 virtual-lane
-            # offsets are combined in XLA and applied only at the
-            # gathered bucket positions.
-            t_depth = N // PS.VL
             perm = PS.phys_perm(N)
             phys_order = jnp.take(order, perm, axis=-1)
             pts_cm = tmap(
                 lambda a: jnp.take(a, phys_order, axis=-1), points
             )
+            if int(os.environ.get("ZEROCHAIN_MSM_TOTALS", "0")):
+                # experimental: the whole suffix tail in ONE pallas
+                # kernel (pallas_scan.window_totals) — depth scan,
+                # virtual-lane exclusive scan, one-hot MXU gather,
+                # bucket reduce — no XLA gathers (measured ~100 ms of
+                # stray HBM reads per group-step).
+                pad = PS.VL - (self.nb - 1)
+                cnt_pad = jnp.concatenate(
+                    [cnt, jnp.zeros((*lead, pad), jnp.int32)], axis=-1
+                ).reshape(*lead, PS.SUBLANES, PS.LANES)
+                return PS.window_totals(F, pts_cm, cnt_pad, self.nb)
+            # verified default: in-VMEM depth-scan kernel + XLA tail
+            t_depth = N // PS.VL
             if t_depth > 1:
                 pre = PS.column_scan(F, pts_cm)
             else:
                 pre = pts_cm
-            # virtual-lane totals live at depth T-1
             tot = tmap(lambda a: a[..., (t_depth - 1) * PS.VL :], pre)
             excl = exclusive_scan_last(F, tot)
-
             jphys = (idx % t_depth) * PS.VL + idx // t_depth
             vl = idx // t_depth
 
