@@ -260,7 +260,7 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
         ]
 
     def kernel(*refs):
-        cnt_ref = refs[3 * ncomp]
+        dig_ref = refs[3 * ncomp]
         outs = refs[3 * ncomp + 1 : 3 * ncomp + 1 + 3 * ncomp]
         scratch = refs[-1]
         ins = refs[: 3 * ncomp]
@@ -306,8 +306,40 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
 
         excl = [excl_shift(p) for p in inc]
 
+        # ---- counts: cnt_ge[t] = #{j : d_j >= t} on the MXU ----
+        # (replaces an XLA searchsorted measured at ~90 ms/group-step);
+        # operands are 0/1 and thresholds < 2^12, so the default-
+        # precision bf16 operand truncation is exact here
+        ones_s = jnp.ones((SUBLANES, 1, LANES), jnp.float32)
+
+        def count_t(t, cnt2):
+            d_f = dig_ref[0, 0, t].astype(jnp.float32)  # (8,128)
+            rows_acc = []
+            for srow in range(2):
+                th = (
+                    jnp.float32(srow * LANES + 1)
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, LANES), 2
+                    ).astype(jnp.float32)
+                )
+                ge = jnp.where(d_f[:, :, None] >= th, 1.0, 0.0)
+                part = jax.lax.dot_general(
+                    ones_s, ge,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (8, 1, 128)
+                rows_acc.append(jnp.sum(part, axis=0)[0])  # (128,)
+            return cnt2 + jnp.stack(rows_acc, axis=0)  # (2, 128)
+
+        cnt2 = jax.lax.fori_loop(
+            0, t_depth, count_t, jnp.zeros((2, LANES), jnp.float32)
+        )
+        cnt = jnp.concatenate(
+            [cnt2.astype(jnp.int32),
+             jnp.zeros((SUBLANES - 2, LANES), jnp.int32)], axis=0
+        )  # (8,128) cnt_ge per slot
+
         # ---- phase C: one-hot gathers on the MXU ----
-        cnt = cnt_ref[0, 0]                      # (8,128) cnt_ge per slot
         valid_slot = (flat < nb - 1) & (cnt > 0)
         idx = jnp.maximum(cnt - 1, 0)
         p_phys_t = jax.lax.rem(idx, jnp.int32(t_depth))
@@ -315,36 +347,45 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
         vl_f = jnp.where(valid_slot, p_vl, -1).astype(jnp.float32)
         pt_f = jnp.where(valid_slot, p_phys_t, -1).astype(jnp.float32)
 
-        vl_iota3 = jax.lax.broadcasted_iota(
-            jnp.float32, (SUBLANES, LANES, LANES), 2
-        )
-        # gathered[pl, slot] = sum_vl pre_t[pl, vl] * (vl == target_vl)
-        gathered = None
-        for t in range(t_depth):
+        # gathered[pl, slot] = sum_vl pre_t[pl, vl] * (vl == target_vl);
+        # fori (not an unrolled python loop) so the f32 stacks/one-hots
+        # of only ONE t-slice are live at a time — the unrolled form
+        # blew the 16 MB scoped-vmem budget on G2
+        vl_here_f = (row * LANES + lane).astype(jnp.float32)
+
+        def gather_t(t, gathered):
             planes_t = read_depth(t)
             pre_f = jnp.stack(
                 [p.astype(jnp.float32) for p in planes_t], axis=1
             )  # (8, P, 128) — batch dim leading for Mosaic's matmul
-            # oh[s_j, l_j, slot_lane] for each slot row
+            t_f = t.astype(jnp.float32)
             acc_rows = []
             for srow in range(2):
                 tgt_vl = vl_f[srow].reshape(1, 1, LANES)
                 tgt_t = pt_f[srow].reshape(1, 1, LANES)
-                vl_here = (row * LANES + lane).astype(jnp.float32)
                 oh = jnp.where(
-                    (vl_here[:, :, None] == tgt_vl)
-                    & (tgt_t == float(t)),
+                    (vl_here_f[:, :, None] == tgt_vl)
+                    & (tgt_t == t_f),
                     1.0, 0.0,
                 )  # (8, 128, 128)
                 # batch over sublanes: (8,P,128) x (8,128,128) -> (8,P,128)
                 part = jax.lax.dot_general(
                     pre_f, oh,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    # HIGHEST: Mosaic's default f32 matmul truncates
+                    # operands to bf16 (8-bit mantissa), corrupting
+                    # 12-bit limb values; 3-pass emulation is exact here
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,
                 )
                 acc_rows.append(jnp.sum(part, axis=0))  # (P, 128)
             g_t = jnp.stack(acc_rows, axis=1)  # (P, 2, 128)
-            gathered = g_t if gathered is None else gathered + g_t
+            return gathered + g_t
+
+        gathered = jax.lax.fori_loop(
+            0, t_depth, gather_t,
+            jnp.zeros((n_planes, 2, LANES), jnp.float32),
+        )
 
         # offsets: excl[vl] per slot — same one-hot, single source tile
         ex_f = jnp.stack(
@@ -353,13 +394,13 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
         off_rows = []
         for srow in range(2):
             tgt_vl = vl_f[srow].reshape(1, 1, LANES)
-            vl_here = (row * LANES + lane).astype(jnp.float32)
             oh = jnp.where(
-                vl_here[:, :, None] == tgt_vl, 1.0, 0.0
+                vl_here_f[:, :, None] == tgt_vl, 1.0, 0.0
             )
             part = jax.lax.dot_general(
                 ex_f, oh,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
             off_rows.append(jnp.sum(part, axis=0))
@@ -406,8 +447,8 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
         (n, 1, t_depth, SUBLANES, LANES), lambda i: (0, i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    cnt_block = pl.BlockSpec(
-        (1, 1, SUBLANES, LANES), lambda i: (0, i, 0, 0),
+    dig_block = pl.BlockSpec(
+        (1, 1, t_depth, SUBLANES, LANES), lambda i: (0, i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_block = pl.BlockSpec(
@@ -422,7 +463,7 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
         return pl.pallas_call(
             kernel,
             grid=(m,),
-            in_specs=[pt_block] * (3 * ncomp) + [cnt_block],
+            in_specs=[pt_block] * (3 * ncomp) + [dig_block],
             out_specs=(out_block,) * n_out,
             out_shape=tuple(
                 jax.ShapeDtypeStruct(
@@ -435,18 +476,24 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
                     (3 * ncomp * n, t_depth, SUBLANES, LANES), jnp.int32
                 )
             ],
+            # G2 at T>=2 sits right at the default 16 MB scoped-vmem
+            # budget (inputs + scratch + matmul temps); request headroom
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
             interpret=PF.INTERPRET,
         )(*args)
 
     return call
 
 
-def window_totals(F, pts_cm, cnt, nb: int = 256):
-    """Column-major sorted points + per-slot counts -> window totals.
+def window_totals(F, pts_cm, digits, nb: int = 256):
+    """Column-major sorted points + raw digits -> window totals.
 
     pts_cm: Jacobian tuple, leaves (L, *lead, N) in column-major
-    physical order (phys_perm).  cnt: (*lead, 8, 128) int32 with
-    cnt_ge[t] at flat slot t-1.  Returns point leaves (*lead,)."""
+    physical order (phys_perm).  digits: (*lead, N) int32 digit values
+    (any order within the chunk — only counted).  Returns point leaves
+    (*lead,)."""
     assert nb <= VL + 1, "bucket slots must fit one (8,128) tile"
     ncomp = 1 if F.name == "fq" else 2
     leaves = []
@@ -466,8 +513,8 @@ def window_totals(F, pts_cm, cnt, nb: int = 256):
 
     call = _totals_kernel(ncomp, t_depth, nb)
     tiled = [x.reshape(n, m, t_depth, SUBLANES, LANES) for x in leaves]
-    cnt_t = cnt.reshape(1, m, SUBLANES, LANES)
-    outs = call(*tiled, cnt_t)
+    dig_t = digits.reshape(1, m, t_depth, SUBLANES, LANES)
+    outs = call(*tiled, dig_t)
     outs = [o[:, :, 0, 0].reshape((n, *lead)) for o in outs]
     if ncomp == 1:
         return (outs[0], outs[1], outs[2])

@@ -269,6 +269,27 @@ class SuffixMsm:
             packed_asc = jax.lax.sort(packed, dimension=-1)
             order = (packed_asc & ((1 << nbits_idx) - 1))[..., ::-1]
 
+        use_cm = (
+            PF.use_pallas(points[0].shape if F.name == "fq"
+                          else points[0][0].shape)
+            and N % PS.VL == 0
+            and (N & (N - 1)) == 0
+            and self.nb - 1 <= PS.VL
+            and not int(os.environ.get("ZEROCHAIN_SCAN_UNROLLED", "0"))
+        )
+        if use_cm and int(os.environ.get("ZEROCHAIN_MSM_TOTALS", "1")):
+            # the whole suffix tail in ONE pallas kernel
+            # (pallas_scan.window_totals) — depth scan, bucket counts,
+            # virtual-lane exclusive scan, one-hot MXU gather, bucket
+            # reduce — no XLA gathers (measured ~100 ms of stray HBM
+            # reads per group-step) and no searchsorted (~90 ms).
+            perm = PS.phys_perm(N)
+            phys_order = jnp.take(order, perm, axis=-1)
+            pts_cm = tmap(
+                lambda a: jnp.take(a, phys_order, axis=-1), points
+            )
+            return PS.window_totals(F, pts_cm, digits_m, self.nb)
+
         # cnt_ge[t] = #{i : d_i >= t} = N - searchsorted(keys_asc, t)
         # = N - searchsorted(packed_asc, t << nbits_idx) (index bits are
         # below every threshold's digit bits).
@@ -285,32 +306,13 @@ class SuffixMsm:
         idx = jnp.maximum(cnt - 1, 0)
         empty = cnt == 0
 
-        use_cm = (
-            PF.use_pallas(points[0].shape if F.name == "fq"
-                          else points[0][0].shape)
-            and N % PS.VL == 0
-            and (N & (N - 1)) == 0
-            and self.nb - 1 <= PS.VL
-            and not int(os.environ.get("ZEROCHAIN_SCAN_UNROLLED", "0"))
-        )
         if use_cm:
             perm = PS.phys_perm(N)
             phys_order = jnp.take(order, perm, axis=-1)
             pts_cm = tmap(
                 lambda a: jnp.take(a, phys_order, axis=-1), points
             )
-            if int(os.environ.get("ZEROCHAIN_MSM_TOTALS", "0")):
-                # experimental: the whole suffix tail in ONE pallas
-                # kernel (pallas_scan.window_totals) — depth scan,
-                # virtual-lane exclusive scan, one-hot MXU gather,
-                # bucket reduce — no XLA gathers (measured ~100 ms of
-                # stray HBM reads per group-step).
-                pad = PS.VL - (self.nb - 1)
-                cnt_pad = jnp.concatenate(
-                    [cnt, jnp.zeros((*lead, pad), jnp.int32)], axis=-1
-                ).reshape(*lead, PS.SUBLANES, PS.LANES)
-                return PS.window_totals(F, pts_cm, cnt_pad, self.nb)
-            # verified default: in-VMEM depth-scan kernel + XLA tail
+            # split fallback: in-VMEM depth-scan kernel + XLA tail
             t_depth = N // PS.VL
             if t_depth > 1:
                 pre = PS.column_scan(F, pts_cm)
