@@ -179,9 +179,10 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
     """Full per-(group, proof) suffix-MSM tail in ONE pallas kernel.
 
     Input: column-major sorted points (n, 1, T, 8, 128) per component +
-    a bucket-count tile (1, 1, 8, 128) holding cnt_ge[t] at flat slot
-    t-1 (slots 255..1023 ignored).  Output: the window total, one point
-    per program, broadcast over an (n, 1, 8, 128) tile.
+    the raw digits (1, 1, T, 8, 128) (only counted; order irrelevant).
+    Output: the window total, one point per program, broadcast over an
+    (n, 1, 8, 128) tile.  nb-1 bucket slots live at flat tile positions
+    0..nb-2 (nb up to 1025 fits the tile).
 
     Phases, all in VMEM (no HBM between them):
       A. depth scan        — T-1 sequential (8,128) group adds
@@ -198,6 +199,7 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
     base = _ctx(n, Q)
     c = base if ncomp == 1 else _fq2_ctx(base)
     n_planes = 3 * ncomp * n
+    n_srows = -(-(nb - 1) // LANES)  # slot rows in the (8,128) tile
 
     one_mont = PF._limbs_of(pow(2, PF.LIMB_BITS * n, Q), n)
 
@@ -315,7 +317,7 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
         def count_t(t, cnt2):
             d_f = dig_ref[0, 0, t].astype(jnp.float32)  # (8,128)
             rows_acc = []
-            for srow in range(2):
+            for srow in range(n_srows):
                 th = (
                     jnp.float32(srow * LANES + 1)
                     + jax.lax.broadcasted_iota(
@@ -329,15 +331,17 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
                     preferred_element_type=jnp.float32,
                 )  # (8, 1, 128)
                 rows_acc.append(jnp.sum(part, axis=0)[0])  # (128,)
-            return cnt2 + jnp.stack(rows_acc, axis=0)  # (2, 128)
+            return cnt2 + jnp.stack(rows_acc, axis=0)
 
         cnt2 = jax.lax.fori_loop(
-            0, t_depth, count_t, jnp.zeros((2, LANES), jnp.float32)
+            0, t_depth, count_t, jnp.zeros((n_srows, LANES), jnp.float32)
         )
-        cnt = jnp.concatenate(
-            [cnt2.astype(jnp.int32),
-             jnp.zeros((SUBLANES - 2, LANES), jnp.int32)], axis=0
-        )  # (8,128) cnt_ge per slot
+        cnt = cnt2.astype(jnp.int32)
+        if n_srows < SUBLANES:
+            cnt = jnp.concatenate(
+                [cnt, jnp.zeros((SUBLANES - n_srows, LANES), jnp.int32)],
+                axis=0,
+            )  # (8,128) cnt_ge per slot
 
         # ---- phase C: one-hot gathers on the MXU ----
         valid_slot = (flat < nb - 1) & (cnt > 0)
@@ -360,7 +364,7 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
             )  # (8, P, 128) — batch dim leading for Mosaic's matmul
             t_f = t.astype(jnp.float32)
             acc_rows = []
-            for srow in range(2):
+            for srow in range(n_srows):
                 tgt_vl = vl_f[srow].reshape(1, 1, LANES)
                 tgt_t = pt_f[srow].reshape(1, 1, LANES)
                 oh = jnp.where(
@@ -384,7 +388,7 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
 
         gathered = jax.lax.fori_loop(
             0, t_depth, gather_t,
-            jnp.zeros((n_planes, 2, LANES), jnp.float32),
+            jnp.zeros((n_planes, n_srows, LANES), jnp.float32),
         )
 
         # offsets: excl[vl] per slot — same one-hot, single source tile
@@ -392,7 +396,7 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
             [p.astype(jnp.float32) for p in excl], axis=1
         )  # (8, P, 128)
         off_rows = []
-        for srow in range(2):
+        for srow in range(n_srows):
             tgt_vl = vl_f[srow].reshape(1, 1, LANES)
             oh = jnp.where(
                 vl_here_f[:, :, None] == tgt_vl, 1.0, 0.0
@@ -406,11 +410,14 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
             off_rows.append(jnp.sum(part, axis=0))
         offs = jnp.stack(off_rows, axis=1)  # (P, 2, 128)
 
-        def to_tile(arr):  # (P, 2, 128) f32 -> list of (8,128) i32
+        def to_tile(arr):  # (P, n_srows, 128) f32 -> (8,128) i32 list
             arr = arr.astype(jnp.int32)
-            pad = jnp.zeros((n_planes, SUBLANES - 2, LANES), jnp.int32)
-            full = jnp.concatenate([arr, pad], axis=1)
-            return [full[p] for p in range(n_planes)]
+            if n_srows < SUBLANES:
+                pad = jnp.zeros(
+                    (n_planes, SUBLANES - n_srows, LANES), jnp.int32
+                )
+                arr = jnp.concatenate([arr, pad], axis=1)
+            return [arr[p] for p in range(n_planes)]
 
         g_planes = to_tile(gathered)
         o_planes = to_tile(offs)

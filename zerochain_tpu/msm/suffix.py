@@ -367,9 +367,12 @@ class SuffixMsm:
 
         # lax.scan over window groups: bounds the sorted-copy HBM temps to
         # one group while tracing the group body once (a python loop would
-        # inline nw/wg copies into the XLA module)
+        # inline nw/wg copies into the XLA module).  wg is rounded down to
+        # the balanced split so padding windows stay minimal (nw=26 with
+        # wg=8 would pad to 32 — 19% dead sort/scan work).
         wg = max(1, min(self.window_group, nw))
         ng = -(-nw // wg)
+        wg = -(-nw // ng)
         if ng * wg != nw:  # pad windows (zero digits: identity totals)
             digits_m = jnp.concatenate(
                 [digits_m,

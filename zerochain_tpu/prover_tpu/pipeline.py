@@ -119,7 +119,15 @@ class ConfidentialProver:
         self.a_cols = np.unique(self.matrices.mats[0][1])
         self.b_cols = np.unique(self.matrices.mats[1][1])
 
-        self.msm_chunk_g1 = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "8192"))
+        # Bigger chunks amortize the MSM kernel's fixed per-program tail
+        # (excl scan + gather + reduce ~ 21 formula apps vs T-1 for the
+        # depth scan): T=16 runs ~30% fewer formula applications than
+        # T=8 across the same points (see STATUS.md round-4 profile).
+        # Capped by the domain size so tiny fixture circuits (MiniProver)
+        # don't pad their MSMs out to 16k points.
+        req_chunk = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "16384"))
+        d_pow2 = 1 << max(0, (self.d - 1).bit_length())
+        self.msm_chunk_g1 = min(req_chunk, max(1024, d_pow2))
         self.msm_chunk_g2 = self.msm_chunk_g1 // 2
         self.serialize_chunks = bool(
             int(os.environ.get("ZEROCHAIN_SERIALIZE_CHUNKS", "1"))
@@ -159,8 +167,12 @@ class ConfidentialProver:
         # N·log N adds/window and a window combine per CHUNK).
         self.msm_impl = os.environ.get("ZEROCHAIN_MSM_IMPL", "suffix")
         if self.msm_impl == "suffix":
-            self.msm_g1 = smsm.SuffixMsm(FqOps)
-            self.msm_g2 = smsm.SuffixMsm(Fq2Ops)
+            # c=8 balances window count against the kernel's one-hot
+            # gather (slot rows x depth dots grow with 2^c x T; c=10's
+            # -19% windows loses to its 4x phase-C work at T=16)
+            suffix_c = int(os.environ.get("ZEROCHAIN_MSM_SUFFIX_C", "8"))
+            self.msm_g1 = smsm.SuffixMsm(FqOps, c=suffix_c)
+            self.msm_g2 = smsm.SuffixMsm(Fq2Ops, c=suffix_c)
         else:
             # per-group scan-mode knobs: 'assoc' costs ~log2(N) extra
             # Mosaic kernel compiles but ~6.5x fewer point-adds
@@ -527,6 +539,73 @@ class ConfidentialProver:
         return flat
 
     # ------------------------------------------------------------------
+    def warm_parallel(self, assignments: list[dict]) -> None:
+        """Compile every jit of the proving pipeline CONCURRENTLY.
+
+        A serial first prove() pays each module's compile back-to-back
+        (~1400 s cold at B=32: G2 MSM ~650 s + G1 ~290 s + witness +
+        quotient + assemble...).  The axon compile helper runs one
+        subprocess per request, so issuing all modules from threads
+        overlaps them and the cold wall drops to ~the slowest single
+        compile.  Dummy zero-valued inputs are used with EXACTLY the
+        shapes prove() dispatches, so the in-process jit caches hit."""
+        import concurrent.futures as cf
+
+        B = len(assignments)
+        inputs_host, witness_jit = self._witness_fns()
+        inputs = inputs_host(assignments)
+        n_vars = self.num_inputs + self.num_aux
+        z = lambda *s: jnp.zeros(s, jnp.int32)  # noqa: E731
+
+        def wit():
+            aux, public = witness_jit(**inputs)
+            jax.tree_util.tree_leaves(aux)[0].block_until_ready()
+
+        def quo():
+            wm, h = self._quotient(
+                z(FR.n, self.num_aux, B), z(FR.n, self.num_inputs, B)
+            )
+            h.block_until_ready()
+
+        def digs():
+            out = self._digits(z(FR.n, n_vars, B), z(FR.n, self.d - 1, B))
+            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+
+        def msm(field):
+            if field is FqOps:
+                m, chunks, chunk = (
+                    self.msm_g1, self.a_chunks, self.msm_chunk_g1
+                )
+            else:
+                m, chunks, chunk = (
+                    self.msm_g2, self.b2_chunks, self.msm_chunk_g2
+                )
+            part = m.window_partials(
+                chunks[0], z(m.n_windows, chunk, B)
+            )
+            acc = self._acc_add_jit(field)(part, part)
+            out = m.combine(acc)
+            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+            return out
+
+        def assemble():
+            g1pt = tuple(z(FQ.n, B) for _ in range(3))
+            g2pt = tuple(
+                (z(FQ.n, B), z(FQ.n, B)) for _ in range(3)
+            )
+            bits = z(255, B)
+            flat = self._assemble(
+                g1pt, g1pt, g2pt, g1pt, g1pt, bits, bits, bits
+            )
+            flat.block_until_ready()
+
+        jobs = [wit, quo, digs, lambda: msm(FqOps), lambda: msm(Fq2Ops),
+                assemble]
+        with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futures = [ex.submit(j) for j in jobs]
+            for f in futures:
+                f.result()  # re-raise any compile failure
+
     def prove(self, assignments: list[dict], rs=None) -> list[Proof]:
         """assignments: per-proof witness dicts (witness_inputs_host).
 
