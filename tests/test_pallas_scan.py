@@ -82,3 +82,43 @@ def test_column_scan_depth_prefixes(interpret_kernels):
                 L.from_limbs(L.FQ, y[:, j : j + 1], mont=True)[0],
             )
             assert got == expect, (vl, t)
+
+
+def test_scan_reduce_and_exclusive_scan_cpu():
+    """The single-instance reduce/exclusive-scan forms used by the MSM
+    tail, on the composed CPU path, vs naive group sums."""
+    from zerochain_tpu.msm.suffix import (
+        exclusive_scan_last, scan_reduce_last,
+    )
+
+    k = 6
+    pts_aff = [cv.g1_mul(cv.G1_GEN, 2 + i) for i in range(k)]
+    pts = jg1.from_affine_host(pts_aff)
+
+    tot = scan_reduce_last(FqOps, pts, k)
+    tx, ty, _ = W.normalize(FqOps, tot)
+    expect = None
+    for p in pts_aff:
+        expect = cv.g1_add(expect, p)
+    got = (
+        L.from_limbs(L.FQ, np.asarray(tx).reshape(L.FQ.n, 1), mont=True)[0],
+        L.from_limbs(L.FQ, np.asarray(ty).reshape(L.FQ.n, 1), mont=True)[0],
+    )
+    assert got == expect
+
+    ex = exclusive_scan_last(FqOps, pts)
+    ex_x, ex_y, ex_inf = W.normalize(FqOps, ex)
+    assert bool(np.asarray(ex_inf)[0])  # first = identity
+    for i in (1, 3, k - 1):
+        expect = None
+        for p in pts_aff[:i]:
+            expect = cv.g1_add(expect, p)
+        got = (
+            L.from_limbs(
+                L.FQ, np.asarray(ex_x)[:, i : i + 1], mont=True
+            )[0],
+            L.from_limbs(
+                L.FQ, np.asarray(ex_y)[:, i : i + 1], mont=True
+            )[0],
+        )
+        assert got == expect, i
