@@ -77,3 +77,84 @@ def test_distributed_ntt(mesh):
     y = distributed_ntt(x, mesh, "pt", d1, d2)
     got = L.from_limbs(L.FR, y, mont=True)
     assert got == dom.ntt(vals, dom.omega_for(d))
+
+
+def test_sharded_suffix_msm(mesh):
+    """The PRODUCTION suffix-MSM path sharded over the point axis: each
+    chip sorts/scans its local slice, per-window partial points are
+    all-gathered + tree-reduced (this is what ZEROCHAIN_DIST=1 runs)."""
+    from zerochain_tpu.ec import weierstrass as W
+    from zerochain_tpu.ec.fields import FqOps
+    from zerochain_tpu.dist.msm import sharded_suffix
+    from zerochain_tpu.msm.suffix import SuffixMsm
+
+    rng = np.random.RandomState(3)
+    N, B = 16, 2
+    pts_host = [cv.g1_mul(cv.G1_GEN, 3 + 5 * i) for i in range(N)]
+    pts_host[4] = None
+    scal = [[int(rng.randint(0, 1 << 30)) for _ in range(N)]
+            for _ in range(B)]
+    pts = jg1.from_affine_host(pts_host)
+
+    m = SuffixMsm(FqOps, c=4, n_bits=31, window_group=4, signed=True)
+    limbs = jnp.asarray(
+        np.stack(
+            [np.stack([L._int_to_limbs(v, L.FR.n) for v in s], 1)
+             for s in scal], -1,
+        )
+    )
+    digits = m.digits(limbs)
+    part = sharded_suffix(m, pts, digits, mesh, "pt")
+    got = jg1.to_affine_host(m.combine(part))
+    assert got == [cv.g1_msm(pts_host, s) for s in scal]
+    # bit-exact vs the single-device path
+    single = jg1.to_affine_host(m.combine(m.window_partials(pts, digits)))
+    assert got == single
+
+
+def test_dist_ntt_family(mesh):
+    """intt/coset_ntt/icoset_ntt vs the single-device NttPlan."""
+    from zerochain_tpu.dist.ntt import DistNtt
+    from zerochain_tpu.ntt.ntt import plan_for
+
+    d1 = d2 = 16
+    d = d1 * d2
+    rng = np.random.RandomState(5)
+    vals = [int.from_bytes(rng.bytes(31), "little") % R for i in range(d)]
+    x = L.to_limbs(L.FR, vals, mont=True)
+    dn = DistNtt(d1, d2, mesh, "pt")
+    plan = plan_for(d)
+    for name in ("ntt", "intt", "coset_ntt", "icoset_ntt"):
+        got = np.asarray(getattr(dn, name)(x))
+        want = np.asarray(getattr(plan, name)(x))
+        assert np.array_equal(got, want), name
+
+
+def test_dist_quotient(mesh):
+    """The full distributed quotient chain (what _h_scalars needs) vs
+    the NttPlan chain, with a proof-batch axis."""
+    from zerochain_tpu.dist.ntt import DistNtt
+    from zerochain_tpu.ntt.ntt import plan_for
+
+    d1 = d2 = 16
+    d = d1 * d2
+    B = 2
+    rng = np.random.RandomState(6)
+
+    def arr():
+        vals = [int.from_bytes(rng.bytes(31), "little") % R
+                for _ in range(d * B)]
+        return L.to_limbs(L.FR, vals, mont=True).reshape(L.FR.n, B, d)
+
+    a_ev, b_ev, c_ev = arr(), arr(), arr()
+    dn = DistNtt(d1, d2, mesh, "pt")
+    got = np.asarray(dn.quotient(a_ev, b_ev, c_ev))
+
+    plan = plan_for(d)
+    a_c = plan.coset_ntt(plan.intt(a_ev))
+    b_c = plan.coset_ntt(plan.intt(b_ev))
+    c_c = plan.coset_ntt(plan.intt(c_ev))
+    q = L.sub(L.FR, L.mont_mul(L.FR, a_c, b_c), c_c)
+    q = plan.divide_by_z_on_coset(q)
+    want = np.asarray(plan.icoset_ntt(q))
+    assert np.array_equal(got, want)

@@ -114,3 +114,76 @@ def test_suffix_msm_g2():
     digits = digits_from_limbs(_limbs(scal), 4, m.n_windows)
     got = jg2.to_affine_host(m(pts, digits))
     assert got == [exp]
+
+
+def test_signed_digits_reconstruct():
+    """Signed digit decomposition must satisfy sum d_w * 2^(c*w) = s,
+    with |d_w| <= 2^(c-1)."""
+    from zerochain_tpu.msm.suffix import signed_digits_from_limbs
+
+    rng = np.random.RandomState(11)
+    scal = [[int.from_bytes(rng.bytes(31), "little") for _ in range(5)]]
+    arrs = _limbs(scal)
+    for c in (4, 8):
+        nw = 255 // c + 1 if 255 % c == 0 else -(-255 // c)
+        if c * nw <= 255:
+            nw += 1
+        d = np.asarray(signed_digits_from_limbs(arrs, c, nw))
+        assert np.abs(d).max() <= 1 << (c - 1)
+        for i, s in enumerate(scal[0]):
+            got = sum(int(d[w, i, 0]) << (c * w) for w in range(nw))
+            assert got == s, (c, i)
+
+
+def test_suffix_msm_signed_g1():
+    """Signed-digit mode (the prover's encoding): halved bucket range,
+    sign applied by Y negation — must match the host mirror exactly."""
+    rng = np.random.RandomState(4)
+    N, B = 16, 2
+    pts_host = [cv.g1_mul(cv.G1_GEN, 3 + 7 * i) for i in range(N)]
+    pts_host[2] = None
+    scal = [
+        [int(rng.randint(0, 1 << 30)) for _ in range(N)] for _ in range(B)
+    ]
+    scal[0][5] = 0
+    exp = [cv.g1_msm(pts_host, s) for s in scal]
+
+    pts = jg1.from_affine_host(pts_host)
+    m = SuffixMsm(FqOps, c=4, n_bits=31, window_group=4, signed=True)
+    digits = m.digits(_limbs(scal))
+    got = jg1.to_affine_host(m(pts, digits))
+    assert got == exp
+
+
+def test_suffix_msm_signed_g2():
+    rng = np.random.RandomState(5)
+    N = 4
+    pts_host = [cv.g2_mul(cv.G2_GEN, 5 + 3 * i) for i in range(N)]
+    scal = [[int(rng.randint(1, 1 << 7)) for _ in range(N)]]
+    exp = cv.g2_msm(pts_host, scal[0])
+
+    pts = jg2.from_affine_host(pts_host)
+    m = SuffixMsm(Fq2Ops, c=4, n_bits=7, window_group=1, signed=True)
+    got = jg2.to_affine_host(m(pts, m.digits(_limbs(scal))))
+    assert got == [exp]
+
+
+def test_suffix_msm_shared_prep():
+    """prep() hoisted out and passed to window_partials must equal the
+    digits path — this is the pipeline's shared B1/B2 sort."""
+    rng = np.random.RandomState(6)
+    N = 8
+    pts_host = [cv.g1_mul(cv.G1_GEN, 9 + 2 * i) for i in range(N)]
+    pts = jg1.from_affine_host(pts_host)
+    scal = [[int(rng.randint(1, 1 << 30)) for _ in range(N)]]
+    m = SuffixMsm(FqOps, c=4, n_bits=31, window_group=4, signed=True)
+    digits = m.digits(_limbs(scal))
+    via_digits = m.window_partials(pts, digits)
+    via_prep = m.window_partials(pts, prep=m.prep(digits))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(via_digits),
+        jax.tree_util.tree_leaves(via_prep),
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    got = jg1.to_affine_host(m.combine(via_prep))
+    assert got == [cv.g1_msm(pts_host, scal[0])]

@@ -122,3 +122,60 @@ def test_scan_reduce_and_exclusive_scan_cpu():
             )[0],
         )
         assert got == expect, i
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ZEROCHAIN_PALLAS_TESTS"),
+    reason="interpret-mode compile of the totals kernel takes tens of "
+    "minutes on XLA:CPU; run explicitly with ZEROCHAIN_PALLAS_TESTS=1 "
+    "(the TPU path is exercised end-to-end by bench.py's Groth16 "
+    "verification gate every round)",
+)
+@pytest.mark.parametrize("signed", [False, True])
+def test_window_totals_vs_host(signed, monkeypatch):
+    """The single-kernel suffix tail (counts, exclusive scan, one-hot
+    gathers, reduce) vs a host-mirror MSM, interpret mode, T=2."""
+    monkeypatch.setattr(PF, "INTERPRET", True)
+    PS._totals_kernel.cache_clear()
+    try:
+        n = 2048  # T = 2
+        rng = np.random.RandomState(8)
+        pts_aff = [cv.g1_mul(cv.G1_GEN, 3 + i) for i in range(8)]
+        base = jg1.from_affine_host(pts_aff)
+        pts = jax.tree.map(
+            lambda a: jnp.tile(a, (1,) * (a.ndim - 1) + (n // 8,)), base
+        )
+        if signed:
+            digs = rng.randint(-128, 129, size=(1, n)).astype(np.int32)
+            nb = 129
+        else:
+            digs = rng.randint(0, 256, size=(1, n)).astype(np.int32)
+            nb = 256
+        # mostly-zero digit skew like real witness scalars
+        digs[0, : n // 2] = 0
+
+        # host expectation
+        from zerochain_tpu.mirror.field import R as _R
+
+        exp = cv.g1_msm(
+            [pts_aff[i % 8] for i in range(n)],
+            [int(d) % _R for d in digs[0]],
+        )
+
+        # sort by |digit| descending, lay out column-major
+        mags = np.abs(digs[0]) if signed else digs[0]
+        order = np.argsort(-mags, kind="stable").astype(np.int32)
+        perm = np.asarray(PS.phys_perm(n))
+        phys_order = order[perm]
+        sd_cm = jnp.asarray(digs[0][phys_order])[None, :]
+        pts_cm = jax.tree.map(
+            lambda a: jnp.take(a, jnp.asarray(phys_order), axis=-1)[
+                :, None, :
+            ],
+            pts,
+        )
+        tot = PS.window_totals(FqOps, pts_cm, sd_cm, nb, signed=signed)
+        got = jg1.to_affine_host(tot)
+        assert got == [exp]
+    finally:
+        PS._totals_kernel.cache_clear()

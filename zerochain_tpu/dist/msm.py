@@ -90,3 +90,54 @@ def sharded_msm_g1(points_jac, bits, mesh: Mesh, axis_name: str,
     """G1 wrapper kept for the multichip dryrun / older callers."""
     return sharded_msm(FqOps, points_jac, bits, mesh, axis_name,
                        use_pippenger)
+
+
+def sharded_suffix(msm, points_jac, digits, mesh: Mesh, axis_name: str):
+    """The PRODUCTION suffix-MSM (msm/suffix.SuffixMsm) sharded over the
+    chunk point axis.
+
+    points_jac: Jacobian leaves (L, N); digits: (nw, N, *batch) raw
+    digits in msm's encoding (signed for the prover).  Each chip sorts
+    and suffix-scans its LOCAL N/n_dev point slice — the per-shard sort
+    must be local because a global order would make every chip gather
+    points cross-shard — and the per-window partial POINTS (leaves
+    (L, nw, *batch), ~nw*B*96 ints, ~400 KB at the prover's shapes) are
+    all-gathered over ICI and tree-reduced identically everywhere.
+    Returns per-window totals exactly like msm.window_partials, so the
+    chunk accumulate + single Horner combine in the pipeline are
+    unchanged (SURVEY §2.4; greenfield — the reference has no
+    multi-node MSM)."""
+    n_dev = mesh.shape[axis_name]
+    assert digits.shape[1] % n_dev == 0, (digits.shape, n_dev)
+    F = msm.F
+
+    def local(pts_l, dig_l):
+        part = msm._partials(pts_l, dig_l)  # local sort + scan + gather
+        gathered = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, axis_name, axis=0), part
+        )
+        first = jax.tree.map(lambda a: a[0], gathered)
+        rest = jax.tree.map(lambda a: a[1:], gathered)
+
+        def body(acc, nxt):
+            return W.add(F, acc, nxt), None
+
+        acc, _ = jax.lax.scan(body, first, rest)
+        return acc
+
+    cache = getattr(msm, "_sharded_cache", None)
+    if cache is None:
+        cache = msm._sharded_cache = {}
+    key = (mesh, axis_name)
+    if key not in cache:
+        cache[key] = jax.jit(shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                _pt_spec(F, P(None, axis_name)),
+                P(None, axis_name),
+            ),
+            out_specs=_pt_spec(F, P()),
+            check_vma=False,
+        ))
+    return cache[key](points_jac, digits)

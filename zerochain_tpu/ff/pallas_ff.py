@@ -62,6 +62,21 @@ def _ripple(t: list, nl: int, drop_carry: bool = False) -> list:
     return out
 
 
+def _ripple_signed(t: list, nl: int) -> list:
+    """Carry propagation where intermediate limb values may be NEGATIVE
+    (lazy-reduction combines like t_aa + 2p^2 - t_bb).  Arithmetic
+    right-shift floors toward -inf, so a negative running value borrows
+    correctly; the caller guarantees the TOTAL is non-negative and
+    < 2^(12*nl), so the final carry-out is zero."""
+    out = []
+    c = None
+    for k in range(nl):
+        v = t[k] if c is None else t[k] + c
+        c = jax.lax.shift_right_arithmetic(v, LIMB_BITS)
+        out.append(jax.lax.bitwise_and(v, LIMB_MASK))
+    return out
+
+
 def _cond_sub_p(res: list, p: list[int], n: int) -> list:
     """res in [0, 2p) -> res mod p, branch-free."""
     borrow = None

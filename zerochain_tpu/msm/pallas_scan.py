@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ec.pallas_ec import _add_planes, _ctx, _fq2_ctx
+from ..ec.pallas_ec import _add_planes, _ctx, _fq2_ctx, _madd_planes
 from ..ff import limbs as L
 from ..ff import pallas_ff as PF
 from ..mirror.field import Q
@@ -49,16 +49,6 @@ FQ = L.FQ
 LANES = 128
 SUBLANES = 8
 VL = SUBLANES * LANES  # virtual lanes of the column-major layout
-
-
-def supported(n_elems: int) -> bool:
-    """Column-scan constraint: N a pow2 multiple of the 1024 virtual
-    lanes (T >= 2; T == 1 has no depth to scan — caller skips the
-    kernel and scans the 1024 lanes in XLA directly)."""
-    return (
-        n_elems >= 2 * VL
-        and (n_elems & (n_elems - 1)) == 0
-    )
 
 
 def logical_to_phys(i, n_elems: int):
@@ -140,8 +130,10 @@ def _column_scan_kernel(ncomp: int, t_depth: int):
 
         def body(t, _):
             prev = _unflatten(read_depth(t - 1))
+            # cur is an untouched input point: affine (Z=1) or padding
+            # (Z=0), so the cheaper mixed add applies (see _madd_planes)
             cur = _unflatten(read_depth(t))
-            res = _add_planes(c, prev, cur, onem, zero)
+            res = _madd_planes(c, prev, cur, onem, zero)
             write_depth(t, _flatten(res))
             return 0
 
@@ -175,23 +167,32 @@ def _column_scan_kernel(ncomp: int, t_depth: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
+def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256,
+                   signed: bool = False):
     """Full per-(group, proof) suffix-MSM tail in ONE pallas kernel.
 
     Input: column-major sorted points (n, 1, T, 8, 128) per component +
-    the raw digits (1, 1, T, 8, 128) (only counted; order irrelevant).
+    the SORTED digits (1, 1, T, 8, 128) in the SAME physical layout as
+    the points (counts are order-agnostic, but in signed mode the digit
+    sign selects Y-negation of the co-located point).
     Output: the window total, one point per program, broadcast over an
     (n, 1, 8, 128) tile.  nb-1 bucket slots live at flat tile positions
     0..nb-2 (nb up to 1025 fits the tile).
 
     Phases, all in VMEM (no HBM between them):
-      A. depth scan        — T-1 sequential (8,128) group adds
+      N. (signed) negate   — Y = -Y where digit < 0 (masked sub pass)
+      A. depth scan        — T-1 sequential (8,128) group MIXED adds
+                             (the incoming point has Z in {0, 1}:
+                             affine CRS entry or zero padding — 8M+3S
+                             _madd_planes instead of 11M+5S)
       B. virtual-lane excl — 10 masked roll-adds over the totals tile
       C. one-hot gather    — MXU f32 dot_generals pick prefix[cnt-1]
-                             and excl[vl] for all 255 buckets at once
+                             and excl[vl] for all nb-1 buckets at once
                              (XLA's gather read ~100 ms/group-step of
-                             HBM for the same operation)
-      D. bucket reduce     — 10 circular roll-adds -> one total
+                             HBM for the same operation); signed mode
+                             halves the slot rows (128 buckets)
+      D. bucket reduce     — circular roll-adds -> one total (7 lane
+                             rolls when the slots fit one 128-lane row)
 
     Empty buckets contribute all-zero gathered planes = Z=0 = the group
     identity, so no separate select pass is needed."""
@@ -275,7 +276,6 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
 
         onem, zero = consts((SUBLANES, LANES))
 
-        # ---- phase A: depth scan ----
         def read_depth(t):
             return [scratch[p, t] for p in range(n_planes)]
 
@@ -283,10 +283,31 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
             for p in range(n_planes):
                 scratch[p, t] = planes[p]
 
+        # ---- phase N (signed digits): Y = -Y where digit < 0 ----
+        if signed:
+            zero_limbs = [
+                jnp.zeros((SUBLANES, LANES), jnp.int32)
+            ] * n
+
+            def body_n(t, _):
+                negm = dig_ref[0, 0, t] < 0
+                for comp in range(ncomp):
+                    ci = ncomp + comp  # Y component plane group
+                    y = [scratch[ci * n + k, t] for k in range(n)]
+                    ny = base["sub"](zero_limbs, y)  # 0 - 0 stays 0
+                    for k in range(n):
+                        scratch[ci * n + k, t] = jnp.where(
+                            negm, ny[k], y[k]
+                        )
+                return 0
+
+            jax.lax.fori_loop(0, t_depth, body_n, 0)
+
+        # ---- phase A: depth scan (mixed adds: cur has Z in {0, 1}) ----
         def body_a(t, _):
             prev = _unflatten(read_depth(t - 1))
             cur = _unflatten(read_depth(t))
-            res = _add_planes(c, prev, cur, onem, zero)
+            res = _madd_planes(c, prev, cur, onem, zero)
             write_depth(t, _flatten(res))
             return 0
 
@@ -315,7 +336,10 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
         ones_s = jnp.ones((SUBLANES, 1, LANES), jnp.float32)
 
         def count_t(t, cnt2):
-            d_f = dig_ref[0, 0, t].astype(jnp.float32)  # (8,128)
+            d_raw = dig_ref[0, 0, t]
+            if signed:
+                d_raw = jnp.abs(d_raw)
+            d_f = d_raw.astype(jnp.float32)  # (8,128)
             rows_acc = []
             for srow in range(n_srows):
                 th = (
@@ -426,25 +450,43 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
         )
         planes_s = _flatten(summed)
 
-        # ---- phase D: circular-doubling reduce over the 1024 slots ----
-        def body_d(i, planes):
-            planes = list(planes)
-            s = jnp.int32(1) << i
+        # ---- phase D: circular-doubling reduce over the bucket slots --
+        if nb - 1 <= LANES:
+            # all slots live in tile row 0: 7 lane-circular roll-adds
+            # make every lane of row 0 the row total (rows 1..7 hold
+            # identity padding and reduce to identity harmlessly)
+            def body_d(i, planes):
+                planes = list(planes)
+                s = jnp.int32(1) << i
+                S = _unflatten([pltpu.roll(p, s, 1) for p in planes])
+                P = _unflatten(planes)
+                merged = _add_planes(c, S, P, onem, zero)
+                return tuple(_flatten(merged))
 
-            def rot(p):
-                lane_s = jax.lax.rem(s, jnp.int32(LANES))
-                row_s = jax.lax.div(s, jnp.int32(LANES))
-                a = pltpu.roll(p, lane_s, 1)
-                b_main = pltpu.roll(a, row_s, 0)
-                b_bor = pltpu.roll(a, row_s + 1, 0)
-                return jnp.where(lane >= lane_s, b_main, b_bor)
+            total = list(
+                jax.lax.fori_loop(0, 7, body_d, tuple(planes_s))
+            )
+        else:
+            def body_d(i, planes):
+                planes = list(planes)
+                s = jnp.int32(1) << i
 
-            S = _unflatten([rot(p) for p in planes])
-            P = _unflatten(planes)
-            merged = _add_planes(c, S, P, onem, zero)
-            return tuple(_flatten(merged))
+                def rot(p):
+                    lane_s = jax.lax.rem(s, jnp.int32(LANES))
+                    row_s = jax.lax.div(s, jnp.int32(LANES))
+                    a = pltpu.roll(p, lane_s, 1)
+                    b_main = pltpu.roll(a, row_s, 0)
+                    b_bor = pltpu.roll(a, row_s + 1, 0)
+                    return jnp.where(lane >= lane_s, b_main, b_bor)
 
-        total = list(jax.lax.fori_loop(0, 10, body_d, tuple(planes_s)))
+                S = _unflatten([rot(p) for p in planes])
+                P = _unflatten(planes)
+                merged = _add_planes(c, S, P, onem, zero)
+                return tuple(_flatten(merged))
+
+            total = list(
+                jax.lax.fori_loop(0, 10, body_d, tuple(planes_s))
+            )
 
         for ci, oref in enumerate(outs):
             for k in range(n):
@@ -494,13 +536,15 @@ def _totals_kernel(ncomp: int, t_depth: int, nb: int = 256):
     return call
 
 
-def window_totals(F, pts_cm, digits, nb: int = 256):
-    """Column-major sorted points + raw digits -> window totals.
+def window_totals(F, pts_cm, digits, nb: int = 256,
+                  signed: bool = False):
+    """Column-major sorted points + co-located digits -> window totals.
 
     pts_cm: Jacobian tuple, leaves (L, *lead, N) in column-major
     physical order (phys_perm).  digits: (*lead, N) int32 digit values
-    (any order within the chunk — only counted).  Returns point leaves
-    (*lead,)."""
+    in the SAME physical order (signed mode reads each digit's sign to
+    negate the co-located point's Y; counts are order-agnostic either
+    way).  Returns point leaves (*lead,)."""
     assert nb <= VL + 1, "bucket slots must fit one (8,128) tile"
     ncomp = 1 if F.name == "fq" else 2
     leaves = []
@@ -518,7 +562,7 @@ def window_totals(F, pts_cm, digits, nb: int = 256):
     for d in lead:
         m *= d
 
-    call = _totals_kernel(ncomp, t_depth, nb)
+    call = _totals_kernel(ncomp, t_depth, nb, signed)
     tiled = [x.reshape(n, m, t_depth, SUBLANES, LANES) for x in leaves]
     dig_t = digits.reshape(1, m, t_depth, SUBLANES, LANES)
     outs = call(*tiled, dig_t)

@@ -62,6 +62,44 @@ def digits_from_limbs(limbs: jnp.ndarray, c: int, n_windows: int):
     return jnp.stack(outs, axis=0)
 
 
+def signed_digits_from_limbs(limbs: jnp.ndarray, c: int, n_windows: int):
+    """Canonical limb scalars -> SIGNED c-bit digits in [-(2^(c-1)-1),
+    2^(c-1)] via the standard borrow chain (digit > 2^(c-1) -> subtract
+    2^c, carry 1 into the next window).
+
+    Halves the bucket count of the suffix MSM (|digit| <= 2^(c-1), the
+    point sign is applied by negating Y — free on a Weierstrass curve),
+    which halves the one-hot gather rows of the single-kernel tail
+    (pallas_scan._totals_kernel phase C).  Requires c*n_windows > n_bits
+    of the scalars so the top window cannot carry out (255-bit Fr scalars
+    at c=8, nw=32: top raw digit <= 127, +carry <= 128 = 2^(c-1))."""
+    raw = digits_from_limbs(limbs, c, n_windows)
+    half = 1 << (c - 1)
+    outs = []
+    carry = jnp.zeros_like(raw[0])
+    for w in range(n_windows):
+        v = raw[w] + carry
+        wrap = v > half
+        outs.append(jnp.where(wrap, v - (1 << c), v))
+        carry = wrap.astype(raw.dtype)
+    return jnp.stack(outs, axis=0)
+
+
+def _neg_y_where(F, pts, mask):
+    """Negate the Y coordinate of Jacobian points where mask (bool,
+    batch-shaped) holds: (x, -y, z) is the Weierstrass negation and
+    encodes a subtracted point for signed-digit windows."""
+    x, y, z = pts
+    ny = W.neg(F, (x, y, z))[1]
+    if F.name == "fq":
+        return (x, jnp.where(mask, ny, y), z)
+    return (
+        x,
+        tuple(jnp.where(mask, a, b) for a, b in zip(ny, y)),
+        z,
+    )
+
+
 def _interleave(a, b):
     """(..., n), (..., n) -> (..., 2n) with a at even, b at odd slots."""
     stacked = jnp.stack([a, b], axis=-1)
@@ -220,54 +258,81 @@ class SuffixMsm:
 
     ``window_partials(points, digits)`` -> per-window totals (nw, *batch);
     ``combine(totals)`` -> final points (*batch).  Split so a chunked
-    caller adds partials across chunks and combines once."""
+    caller adds partials across chunks and combines once.
+
+    ``signed=True`` (the prover's mode) uses signed c-bit digits
+    (|d| <= 2^(c-1), sign applied by negating Y), halving the bucket
+    count — and with it the one-hot gather work and VMEM of the
+    single-kernel tail.  Digits must then come from ``self.digits()``
+    (signed_digits_from_limbs).  The sort can also be hoisted out via
+    ``prep(digits)`` and passed to ``window_partials(points, prep=...)``
+    so MSMs over the SAME scalars (the prover's B1 G1 / B2 G2 pair)
+    sort once."""
 
     def __init__(self, field, c: int | None = None, n_bits: int = 255,
-                 window_group: int | None = None):
+                 window_group: int | None = None, signed: bool = False):
         self.F = field
         self.c = WINDOW_C if c is None else c
         self.n_bits = n_bits
-        self.n_windows = -(-n_bits // self.c)
-        self.nb = 1 << self.c
+        self.signed = signed
+        nw = -(-n_bits // self.c)
+        if signed and self.c * nw <= n_bits:
+            nw += 1  # top window must absorb the final borrow carry
+        self.n_windows = nw
+        self.nb = ((1 << (self.c - 1)) + 1) if signed else (1 << self.c)
         self.window_group = (
             int(os.environ.get("ZEROCHAIN_MSM_WG", "8"))
             if window_group is None else window_group
         )
         self._jit_partials = jax.jit(self._partials)
+        self._jit_partials_pre = jax.jit(self._partials_pre)
+        self._jit_prep = jax.jit(self._prep)
         self._jit_combine = jax.jit(self._combine)
         self._jit_full = jax.jit(
             lambda pts, digits: self._combine(self._partials(pts, digits))
         )
 
+    def digits(self, limbs):
+        """Canonical limb scalars (n_limbs, ...) -> digit array
+        (nw, ...) in this MSM's digit encoding."""
+        if self.signed:
+            return signed_digits_from_limbs(limbs, self.c, self.n_windows)
+        return digits_from_limbs(limbs, self.c, self.n_windows)
+
     # ------------------------------------------------------------------
-    def _group_partials(self, points, digits_m):
-        """points: leaves (L, N); digits_m: (g, *batch, N) -> (g, *batch)."""
+    def _prep(self, digits):
+        """digits (nw, N, *batch) -> (sorted_digits, order), both
+        (nw, *batch, N) int32, ordered by |digit| DESCENDING (logical
+        order).  Separate from the scan so callers sharing scalars
+        across MSMs (B1/B2) pay the sort once."""
+        digits_m = jnp.moveaxis(digits, 1, -1)  # (nw, *batch, N)
+        N = digits_m.shape[-1]
+        mag = jnp.abs(digits_m) if self.signed else digits_m
+        nbits_idx = (N - 1).bit_length()
+        iota = jnp.broadcast_to(jax.lax.iota(jnp.int32, N), digits_m.shape)
+        # pack (|digit|, index) into ONE int32 key: a single-array sort
+        # moves half the data of the (key, payload) pair sort — measured
+        # 154 ms -> ~80 ms per (8, 32, 8192) group-step.  |digit| < 2^c
+        # (c <= 12) and index < 2^13 fit 25 bits.
+        if self.c + nbits_idx > 31:  # packed key would overflow int32
+            _, order = jax.lax.sort((mag, iota), dimension=-1, num_keys=1)
+            order = order[..., ::-1]
+        else:
+            packed = (mag << nbits_idx) | iota
+            packed_asc = jax.lax.sort(packed, dimension=-1)
+            order = (packed_asc & ((1 << nbits_idx) - 1))[..., ::-1]
+        sorted_digits = jnp.take_along_axis(digits_m, order, axis=-1)
+        return sorted_digits, order
+
+    def _group_partials(self, points, sorted_digits, order):
+        """points: leaves (L, N); sorted_digits/order: (g, *batch, N)
+        (|digit| descending) -> totals (g, *batch)."""
         from ..ff import pallas_ff as PF
         from . import pallas_scan as PS
 
         F = self.F
-        N = digits_m.shape[-1]
-        lead = digits_m.shape[:-1]
-        nbits_idx = (N - 1).bit_length()
-
-        # pack (digit, index) into ONE int32 key: a single-array sort
-        # moves half the data of the (key, payload) pair sort — measured
-        # 154 ms -> ~80 ms per (8, 32, 8192) group-step.  digit < 2^c
-        # (c <= 12) and index < 2^13 fit 25 bits.
-        iota = jnp.broadcast_to(
-            jax.lax.iota(jnp.int32, N), digits_m.shape
-        )
-        if self.c + nbits_idx > 31:  # packed key would overflow int32
-            keys_asc, order = jax.lax.sort(
-                (digits_m, iota), dimension=-1, num_keys=1
-            )
-            order = order[..., ::-1]
-            packed_asc = keys_asc
-            nbits_idx = 0
-        else:
-            packed = (digits_m << nbits_idx) | iota
-            packed_asc = jax.lax.sort(packed, dimension=-1)
-            order = (packed_asc & ((1 << nbits_idx) - 1))[..., ::-1]
+        N = order.shape[-1]
+        lead = order.shape[:-1]
 
         use_cm = (
             PF.use_pallas(points[0].shape if F.name == "fq"
@@ -283,25 +348,29 @@ class SuffixMsm:
             # virtual-lane exclusive scan, one-hot MXU gather, bucket
             # reduce — no XLA gathers (measured ~100 ms of stray HBM
             # reads per group-step) and no searchsorted (~90 ms).
+            # Sign application (negate Y) happens in-kernel from the
+            # sorted digit planes.
             perm = PS.phys_perm(N)
             phys_order = jnp.take(order, perm, axis=-1)
+            sd_cm = jnp.take(sorted_digits, perm, axis=-1)
             pts_cm = tmap(
                 lambda a: jnp.take(a, phys_order, axis=-1), points
             )
-            return PS.window_totals(F, pts_cm, digits_m, self.nb)
+            return PS.window_totals(F, pts_cm, sd_cm, self.nb,
+                                    signed=self.signed)
 
-        # cnt_ge[t] = #{i : d_i >= t} = N - searchsorted(keys_asc, t)
-        # = N - searchsorted(packed_asc, t << nbits_idx) (index bits are
-        # below every threshold's digit bits).
-        # NB: no histogram scatter here — real witness digits are heavily
-        # skewed (thousands of zeros), and a scatter-add with colliding
-        # indices serializes per duplicate on TPU (measured: 10-30x
-        # slow-down of the whole MSM vs uniform-random digits).
-        ts = jnp.arange(1, self.nb, dtype=packed_asc.dtype) << nbits_idx
-        flat_keys = packed_asc.reshape(-1, N)
+        # cnt_ge[t] = #{i : |d_i| >= t} via searchsorted on the ascending
+        # magnitudes.  NB: no histogram scatter here — real witness
+        # digits are heavily skewed (thousands of zeros), and a
+        # scatter-add with colliding indices serializes per duplicate on
+        # TPU (measured: 10-30x slow-down vs uniform-random digits).
+        mag_desc = (jnp.abs(sorted_digits) if self.signed
+                    else sorted_digits)
+        asc = mag_desc[..., ::-1]
+        ts = jnp.arange(1, self.nb, dtype=asc.dtype)
         pos = jax.vmap(
             lambda row: jnp.searchsorted(row, ts, side="left")
-        )(flat_keys)
+        )(asc.reshape(-1, N))
         cnt = (N - pos).reshape(*lead, self.nb - 1).astype(jnp.int32)
         idx = jnp.maximum(cnt - 1, 0)
         empty = cnt == 0
@@ -312,6 +381,9 @@ class SuffixMsm:
             pts_cm = tmap(
                 lambda a: jnp.take(a, phys_order, axis=-1), points
             )
+            if self.signed:
+                neg_cm = jnp.take(sorted_digits < 0, perm, axis=-1)
+                pts_cm = _neg_y_where(F, pts_cm, neg_cm)
             # split fallback: in-VMEM depth-scan kernel + XLA tail
             t_depth = N // PS.VL
             if t_depth > 1:
@@ -337,6 +409,8 @@ class SuffixMsm:
             picked = W.add(F, picked, offs)
         else:
             pts_s = tmap(lambda a: jnp.take(a, order, axis=-1), points)
+            if self.signed:
+                pts_s = _neg_y_where(F, pts_s, sorted_digits < 0)
             pre = prefix_scan(F, pts_s)  # inclusive prefix, sorted pts
 
             def gather(leaf):
@@ -355,15 +429,18 @@ class SuffixMsm:
         """points: Jacobian leaves (N,); digits (nw, N, *batch) ->
         per-window totals, leaves (nw, *batch) (window axis = leaf axis 1,
         after the limb axis)."""
+        sorted_digits, order = self._prep(digits)
+        return self._partials_pre(points, sorted_digits, order)
+
+    def _partials_pre(self, points, sorted_digits, order):
         from ..ff import pallas_ff as PF
 
         with PF.forced():
-            return self._partials_body(points, digits)
+            return self._partials_body(points, sorted_digits, order)
 
-    def _partials_body(self, points, digits):
+    def _partials_body(self, points, sorted_digits, order):
         nw = self.n_windows
-        assert digits.shape[0] == nw
-        digits_m = jnp.moveaxis(digits, 1, -1)     # (nw, *batch, N)
+        assert order.shape[0] == nw, (order.shape, nw)
 
         # lax.scan over window groups: bounds the sorted-copy HBM temps to
         # one group while tracing the group body once (a python loop would
@@ -374,17 +451,23 @@ class SuffixMsm:
         ng = -(-nw // wg)
         wg = -(-nw // ng)
         if ng * wg != nw:  # pad windows (zero digits: identity totals)
-            digits_m = jnp.concatenate(
-                [digits_m,
-                 jnp.zeros((ng * wg - nw, *digits_m.shape[1:]),
-                           digits_m.dtype)], axis=0,
-            )
-        groups = digits_m.reshape(ng, wg, *digits_m.shape[1:])
+            pad = ng * wg - nw
 
-        def body(_, g):
-            return None, self._group_partials(points, g)
+            def padw(a):
+                return jnp.concatenate(
+                    [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0
+                )
 
-        _, totals = jax.lax.scan(body, None, groups)
+            sorted_digits = padw(sorted_digits)
+            order = padw(order)
+        groups_sd = sorted_digits.reshape(ng, wg, *sorted_digits.shape[1:])
+        groups_od = order.reshape(ng, wg, *order.shape[1:])
+
+        def body(_, xs):
+            sd, od = xs
+            return None, self._group_partials(points, sd, od)
+
+        _, totals = jax.lax.scan(body, None, (groups_sd, groups_od))
         # leaves (ng, L, wg, *batch) -> (L, nw, *batch)
         totals = tmap(
             lambda a: jnp.moveaxis(a, 0, 1).reshape(
@@ -424,7 +507,15 @@ class SuffixMsm:
         return res
 
     # public API -------------------------------------------------------
-    def window_partials(self, points, digits):
+    def prep(self, digits):
+        """digits (nw, N, *batch) -> (sorted_digits, order) for
+        window_partials(..., prep=...).  Hoisting this out lets MSMs over
+        the same scalars (B1/B2) share one sort."""
+        return self._jit_prep(digits)
+
+    def window_partials(self, points, digits=None, prep=None):
+        if prep is not None:
+            return self._jit_partials_pre(points, *prep)
         return self._jit_partials(points, digits)
 
     def combine(self, totals):

@@ -128,7 +128,16 @@ class ConfidentialProver:
         req_chunk = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "16384"))
         d_pow2 = 1 << max(0, (self.d - 1).bit_length())
         self.msm_chunk_g1 = min(req_chunk, max(1024, d_pow2))
-        self.msm_chunk_g2 = self.msm_chunk_g1 // 2
+        # G2 at the SAME chunk size as G1 lets B1 (G1) and B2 (G2) —
+        # identical scalars — share one digit sort (suffix.prep); the
+        # signed-digit kernel's halved gather rows keep the T=16 G2
+        # scratch inside the VMEM budget.  ZEROCHAIN_MSM_CHUNK_G2
+        # overrides (a /2 fallback if a future circuit blows VMEM).
+        self.msm_chunk_g2 = min(
+            int(os.environ.get("ZEROCHAIN_MSM_CHUNK_G2",
+                               str(self.msm_chunk_g1))),
+            self.msm_chunk_g1,
+        )
         self.serialize_chunks = bool(
             int(os.environ.get("ZEROCHAIN_SERIALIZE_CHUNKS", "1"))
         )
@@ -169,10 +178,12 @@ class ConfidentialProver:
         if self.msm_impl == "suffix":
             # c=8 balances window count against the kernel's one-hot
             # gather (slot rows x depth dots grow with 2^c x T; c=10's
-            # -19% windows loses to its 4x phase-C work at T=16)
+            # -19% windows loses to its 4x phase-C work at T=16).
+            # signed=True: |digit| <= 128 halves the bucket slots (one
+            # 128-lane row), halving phase C/D of the totals kernel.
             suffix_c = int(os.environ.get("ZEROCHAIN_MSM_SUFFIX_C", "8"))
-            self.msm_g1 = smsm.SuffixMsm(FqOps, c=suffix_c)
-            self.msm_g2 = smsm.SuffixMsm(Fq2Ops, c=suffix_c)
+            self.msm_g1 = smsm.SuffixMsm(FqOps, c=suffix_c, signed=True)
+            self.msm_g2 = smsm.SuffixMsm(Fq2Ops, c=suffix_c, signed=True)
         else:
             # per-group scan-mode knobs: 'assoc' costs ~log2(N) extra
             # Mosaic kernel compiles but ~6.5x fewer point-adds
@@ -189,7 +200,12 @@ class ConfidentialProver:
         # multi-chip: shard each MSM chunk's points over the mesh with an
         # all-gathered partial-sum reduction (dist/msm.py).  Opt-in via
         # ZEROCHAIN_DIST=1 on a multi-device runtime; chunk sizes must
-        # divide by the device count (8192/4096 do for 2/4/8 chips).
+        # divide by the device count (16384/8192 do for 2/4/8 chips).
+        # The PRODUCTION suffix path shards directly (each chip sorts and
+        # scans its local point slice, per-window partial points are
+        # all-gathered and tree-reduced — dist/msm.py:sharded_suffix);
+        # the round-4 silent downgrade to the round-2 'hs' kernels is
+        # gone.
         self.mesh = None
         if int(os.environ.get("ZEROCHAIN_DIST", "0")):
             devs = jax.devices()
@@ -197,11 +213,6 @@ class ConfidentialProver:
                 from jax.sharding import Mesh
 
                 self.mesh = Mesh(np.asarray(devs), ("pt",))
-                if self.msm_impl == "suffix":
-                    # dist/msm.py shards the round-2 bit-based kernels
-                    self.msm_impl = "hs"
-                    self.msm_g1 = pip.Msm(FqOps)
-                    self.msm_g2 = pip.Msm(Fq2Ops)
 
     def _prep(self, pts, cols, n, chunk):
         """Gather dense columns, pad to a chunk multiple; -> (pts, size)."""
@@ -288,15 +299,25 @@ class ConfidentialProver:
 
         return jax.jit(f)
 
-    def _msm_chunked_suffix(self, field, pts_chunks, digit_chunks):
-        """Suffix-MSM chunk loop over PRE-SLICED point/digit chunks: one
-        jit dispatch per chunk + one accumulate + one combine — no eager
-        ops (each costs a tunnel round trip), and the Horner window
-        combine runs ONCE per MSM."""
+    def _msm_chunked_suffix(self, field, pts_chunks, prep_chunks):
+        """Suffix-MSM chunk loop over PRE-SLICED point chunks and digit
+        preps: one jit dispatch per chunk + one accumulate + one combine
+        — no eager ops (each costs a tunnel round trip), and the Horner
+        window combine runs ONCE per MSM.
+
+        In dist mode (self.mesh) prep_chunks are RAW digit chunks and
+        each chunk's points/digits are sharded over the mesh point axis
+        (dist/msm.py:sharded_suffix): per-chip local sort + scan, one
+        all-gather of (nw, B) partial points per chunk."""
         msm = self.msm_g1 if field is FqOps else self.msm_g2
         acc = None
-        for cpts, cdig in zip(pts_chunks, digit_chunks):
-            part = msm.window_partials(cpts, cdig)
+        for cpts, cprep in zip(pts_chunks, prep_chunks):
+            if self.mesh is not None:
+                from ..dist.msm import sharded_suffix
+
+                part = sharded_suffix(msm, cpts, cprep, self.mesh, "pt")
+            else:
+                part = msm.window_partials(cpts, prep=cprep)
             acc = part if acc is None else self._acc_add_jit(field)(acc, part)
             if self.serialize_chunks:
                 jax.tree_util.tree_leaves(acc)[0].block_until_ready()
@@ -416,25 +437,45 @@ class ConfidentialProver:
         return witness_mont, self._h_scalars(witness_mont)
 
     def _digits_impl(self, witness_mont, h_scalars):
-        """All five MSMs' padded, chunk-split digit arrays in ONE jit."""
+        """All five MSMs' per-chunk digit preps in ONE jit.
+
+        Returns per-MSM lists of (sorted_digits, order) ready for
+        window_partials(prep=...).  The B1 (G1) and B2 (G2) MSMs run
+        over IDENTICAL scalars; when their chunk sizes match (default)
+        they share the same preps — one digit sort instead of two
+        (bellman sorts nothing; this is the TPU design's analogue of
+        its shared density map, multiexp.rs via SURVEY §2.3).
+
+        In dist mode the raw signed digit chunks are returned instead:
+        each chip must sort only its LOCAL point slice (a global sort
+        order would make every chip gather points cross-shard)."""
         wit_canon = L.from_mont(FR, witness_mont)
         h_canon = L.from_mont(FR, h_scalars)
 
         def digs(limbs, msm, size, chunk):
-            d = smsm.digits_from_limbs(limbs, msm.c, msm.n_windows)
+            d = msm.digits(limbs)
             d = self._pad_bits(d, size)
             return [d[:, off : off + chunk]
                     for off in range(0, size, chunk)]
 
         g1, g2 = self.msm_g1, self.msm_g2
         cg1, cg2 = self.msm_chunk_g1, self.msm_chunk_g2
-        return (
-            digs(wit_canon[:, self.a_cols], g1, self.size_a, cg1),
-            digs(wit_canon[:, self.b_cols], g1, self.size_b1, cg1),
-            digs(wit_canon[:, self.b_cols], g2, self.size_b2, cg2),
-            digs(wit_canon[:, self.num_inputs :], g1, self.size_l, cg1),
-            digs(h_canon, g1, self.size_h, cg1),
-        )
+        a_d = digs(wit_canon[:, self.a_cols], g1, self.size_a, cg1)
+        b1_d = digs(wit_canon[:, self.b_cols], g1, self.size_b1, cg1)
+        l_d = digs(wit_canon[:, self.num_inputs :], g1, self.size_l, cg1)
+        h_d = digs(h_canon, g1, self.size_h, cg1)
+        share_b = cg2 == cg1 and g2.c == g1.c and g2.signed == g1.signed
+        b2_d = (b1_d if share_b
+                else digs(wit_canon[:, self.b_cols], g2, self.size_b2,
+                          cg2))
+        if self.mesh is not None:
+            return (a_d, b1_d, b2_d, l_d, h_d)
+        a_p = [g1._prep(d) for d in a_d]
+        b1_p = [g1._prep(d) for d in b1_d]
+        b2_p = b1_p if share_b else [g2._prep(d) for d in b2_d]
+        l_p = [g1._prep(d) for d in l_d]
+        h_p = [g1._prep(d) for d in h_d]
+        return (a_p, b1_p, b2_p, l_p, h_p)
 
     def _h_scalars(self, witness_mont):
         """witness (L, n_vars, B) -> quotient coeffs (L, d-1, B) mont."""
@@ -581,7 +622,8 @@ class ConfidentialProver:
                     self.msm_g2, self.b2_chunks, self.msm_chunk_g2
                 )
             part = m.window_partials(
-                chunks[0], z(m.n_windows, chunk, B)
+                chunks[0],
+                prep=(z(m.n_windows, B, chunk), z(m.n_windows, B, chunk)),
             )
             acc = self._acc_add_jit(field)(part, part)
             out = m.combine(acc)
@@ -647,14 +689,16 @@ class ConfidentialProver:
             witness_mont, h_scalars = self._quotient(aux, public)
             self._true_sync(h_scalars, "quotient")
             _mark("quotient (NTT) done")
-            ab, bb, bb2, lb, hb = self._digits(witness_mont, h_scalars)
-            a_acc = self._msm_chunked_suffix(FqOps, self.a_chunks, ab)
+            # preps (single-chip) or raw digit chunks (dist) — see
+            # _digits_impl; B1/B2 entries alias one shared sort
+            ap, b1p, b2p, lp, hp = self._digits(witness_mont, h_scalars)
+            a_acc = self._msm_chunked_suffix(FqOps, self.a_chunks, ap)
             _mark("msm A done")
-            b1_acc = self._msm_chunked_suffix(FqOps, self.b1_chunks, bb)
-            b2_acc = self._msm_chunked_suffix(Fq2Ops, self.b2_chunks, bb2)
+            b1_acc = self._msm_chunked_suffix(FqOps, self.b1_chunks, b1p)
+            b2_acc = self._msm_chunked_suffix(Fq2Ops, self.b2_chunks, b2p)
             _mark("msm B1/B2 done")
-            l_acc = self._msm_chunked_suffix(FqOps, self.l_chunks, lb)
-            h_acc = self._msm_chunked_suffix(FqOps, self.h_chunks, hb)
+            l_acc = self._msm_chunked_suffix(FqOps, self.l_chunks, lp)
+            h_acc = self._msm_chunked_suffix(FqOps, self.h_chunks, hp)
         else:
             witness_mont = jnp.concatenate([public, aux], axis=1)
             h_scalars = self._h_scalars(witness_mont)
