@@ -44,18 +44,36 @@ FR = L.FR
 
 
 def _twiddle_matrix(d1: int, d2: int, omega: int) -> jnp.ndarray:
-    """(n_limbs, d1, d2) Montgomery array of w^{j*r}."""
-    rows = []
-    for j in range(d1):
-        base = pow(omega, j, R)
-        cur = 1
-        row = []
-        for _ in range(d2):
-            row.append(cur)
-            cur = cur * base % R
-        rows.extend(row)
-    flat = _to_mont_np(rows)  # (L, d1*d2)
-    return jnp.asarray(flat).reshape(FR.n, d1, d2)
+    """(n_limbs, d1, d2) Montgomery array of w^{j*r}.
+
+    Large matrices (the 2^22 domain needs 2048x2048) are built on
+    device: row j+1 = row j * [w^r]_r via one lax.scan of mont_muls —
+    host bigint conversion of d1*d2 values would cost ~10 us each."""
+    if d1 * d2 <= 1 << 16:
+        rows = []
+        for j in range(d1):
+            base = pow(omega, j, R)
+            cur = 1
+            row = []
+            for _ in range(d2):
+                row.append(cur)
+                cur = cur * base % R
+            rows.extend(row)
+        flat = _to_mont_np(rows)  # (L, d1*d2)
+        return jnp.asarray(flat).reshape(FR.n, d1, d2)
+
+    wvec = jnp.asarray(_pow_vec(omega, d2))  # (L, d2): w^r
+    ones = jnp.asarray(_to_mont_np([1] * d2))
+
+    @jax.jit
+    def build(wv, start):
+        def step(carry, _):
+            return L.mont_mul(FR, carry, wv), carry
+
+        _, rows = jax.lax.scan(step, start, None, length=d1)
+        return jnp.moveaxis(rows, 0, 1)  # (L, d1, d2)
+
+    return build(wvec, ones)
 
 
 def _pow_vec(base: int, n: int) -> jnp.ndarray:

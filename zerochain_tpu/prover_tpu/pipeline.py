@@ -478,7 +478,12 @@ class ConfidentialProver:
         return (a_p, b1_p, b2_p, l_p, h_p)
 
     def _h_scalars(self, witness_mont):
-        """witness (L, n_vars, B) -> quotient coeffs (L, d-1, B) mont."""
+        """witness (L, n_vars, B) -> quotient coeffs (L, d-1, B) mont.
+
+        In dist mode the whole intt -> coset_ntt -> pointwise ->
+        divide-by-z -> icoset_ntt chain runs as four-step distributed
+        transforms with all_to_all stage exchange over the mesh
+        (dist/ntt.DistNtt.quotient; BASELINE configs[4])."""
         a_v, b_v, c_v = self.matrices.eval(witness_mont)
         B = witness_mont.shape[-1]
         pad = self.d - self.m
@@ -489,12 +494,21 @@ class ConfidentialProver:
                 jnp.concatenate([x, z], axis=1), 1, -1
             )  # (L, B, d)
 
-        a_c = self.plan.coset_ntt(self.plan.intt(pad_to_d(a_v)))
-        b_c = self.plan.coset_ntt(self.plan.intt(pad_to_d(b_v)))
-        c_c = self.plan.coset_ntt(self.plan.intt(pad_to_d(c_v)))
-        q = L.sub(FR, L.mont_mul(FR, a_c, b_c), c_c)
-        q = self.plan.divide_by_z_on_coset(q)
-        h = self.plan.icoset_ntt(q)  # (L, B, d)
+        n_dev = 0 if self.mesh is None else self.mesh.shape["pt"]
+        if self.mesh is not None and self.d >= n_dev * n_dev * 2:
+            from ..dist.ntt import dist_plan_for
+
+            dn = dist_plan_for(self.d, self.mesh, "pt")
+            h = dn.quotient(
+                pad_to_d(a_v), pad_to_d(b_v), pad_to_d(c_v)
+            )
+        else:
+            a_c = self.plan.coset_ntt(self.plan.intt(pad_to_d(a_v)))
+            b_c = self.plan.coset_ntt(self.plan.intt(pad_to_d(b_v)))
+            c_c = self.plan.coset_ntt(self.plan.intt(pad_to_d(c_v)))
+            q = L.sub(FR, L.mont_mul(FR, a_c, b_c), c_c)
+            q = self.plan.divide_by_z_on_coset(q)
+            h = self.plan.icoset_ntt(q)  # (L, B, d)
         h = jnp.moveaxis(h, -1, 1)[:, : self.d - 1]  # (L, d-1, B)
         return h
 
