@@ -215,7 +215,15 @@ class ConfidentialProver:
                 self.mesh = Mesh(np.asarray(devs), ("pt",))
 
     def _prep(self, pts, cols, n, chunk):
-        """Gather dense columns, pad to a chunk multiple; -> (pts, size)."""
+        """Gather dense columns, pad to a chunk multiple, and NORMALIZE
+        to affine (Z in {0, one}); -> (pts, size).
+
+        The normalization is load-bearing: the MSM depth-scan kernels
+        use the mixed add (_madd_planes, Z2 in {0, 1}) on the incoming
+        CRS point, but from_toxic_waste/from_cache queries arrive as
+        arbitrary-Z Jacobians from the fixed-base exponentiation.  One
+        batched inversion per query array at init makes every chunk
+        madd-eligible (and the points canonical for caching)."""
         if cols is not None:
             pts = pip.tmap(lambda a: jnp.take(a, cols, axis=-1), pts)
             n = len(cols)
@@ -228,7 +236,18 @@ class ConfidentialProver:
             z = jnp.zeros(a.shape[:-1] + (size - cur,), a.dtype)
             return jnp.concatenate([a, z], axis=-1)
 
-        return pip.tmap(pad, pts), size
+        pts = pip.tmap(pad, pts)
+        field = Fq2Ops if isinstance(pts[0], tuple) else FqOps
+
+        @jax.jit
+        def to_affine_z01(p):
+            x, y, inf = W.normalize(field, p)
+            batch = field.batch_shape(x)
+            zero = field.zeros(batch)
+            z = field.select(inf, zero, field.ones(batch))
+            return (x, y, z)
+
+        return to_affine_z01(pts), size
 
     @staticmethod
     def _pad_bits(bits, n):
