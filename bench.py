@@ -113,12 +113,16 @@ def _setup_jax():
 
 def _sync(x):
     """Force REAL device completion: block_until_ready through the axon
-    tunnel has been observed returning early; a value fetch cannot lie."""
+    tunnel has been observed returning early; a value fetch cannot lie.
+    Uses the pipeline's CACHED fetch jit (a fresh jit(lambda) per call
+    would recompile the fetch and pollute the timing)."""
     import jax
     import numpy as np
 
+    from zerochain_tpu.prover_tpu.pipeline import _fetch_one
+
     leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(jax.jit(lambda a: a.reshape(-1)[:1])(leaf))
+    np.asarray(_fetch_one(leaf))
 
 
 # ------------------------------------------------------------- CRS cache

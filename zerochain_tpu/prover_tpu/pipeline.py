@@ -37,6 +37,13 @@ FR = L.FR
 FQ = L.FQ
 
 
+@jax.jit
+def _fetch_one(a):
+    """One-element fetch used to force real device completion (cached
+    jit: compiles once per input shape)."""
+    return a.reshape(-1)[:1]
+
+
 def _np_fq(v: int) -> np.ndarray:
     return L._int_to_limbs(v * FQ.r_mod_p % Q, FQ.n).reshape(FQ.n, 1)
 
@@ -293,7 +300,10 @@ class ConfidentialProver:
         block_until_ready through the tunneled worker has been observed
         returning early, which makes stage marks fiction; a value fetch
         cannot lie.  Costs ~25 ms tunnel round trip per call — only for
-        ZEROCHAIN_STAGE_SYNC=1 diagnosis runs."""
+        ZEROCHAIN_STAGE_SYNC=1 diagnosis runs.  The fetch jit is cached
+        at module scope: a fresh jit(lambda) per call recompiles the
+        fetch (~1 s each through the axon compile helper) and poisons
+        every stage measurement."""
         if not int(os.environ.get("ZEROCHAIN_STAGE_SYNC", "0")):
             return
         import sys as _s
@@ -301,7 +311,7 @@ class ConfidentialProver:
 
         t0 = _t.time()
         leaf = jax.tree_util.tree_leaves(x)[0]
-        np.asarray(jax.jit(lambda a: a.reshape(-1)[:1])(leaf))
+        np.asarray(_fetch_one(leaf))
         print(f"#   sync[{label}] +{_t.time()-t0:.2f}s", file=_s.stderr,
               flush=True)
 
