@@ -132,31 +132,40 @@ class ConfidentialProver:
         # T=8 across the same points (see STATUS.md round-4 profile).
         # Capped by the domain size so tiny fixture circuits (MiniProver)
         # don't pad their MSMs out to 16k points.
-        req_chunk = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "16384"))
+        req_chunk = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "32768"))
+        g2_cap = int(os.environ.get("ZEROCHAIN_MSM_CHUNK_G2", "16384"))
         d_pow2 = 1 << max(0, (self.d - 1).bit_length())
         self.msm_chunk_g1 = min(req_chunk, max(1024, d_pow2))
-        # G2 at the SAME chunk size as G1 lets B1 (G1) and B2 (G2) —
-        # identical scalars — share one digit sort (suffix.prep); the
-        # signed-digit kernel's halved gather rows keep the T=16 G2
-        # scratch inside the VMEM budget.  ZEROCHAIN_MSM_CHUNK_G2
-        # overrides (a /2 fallback if a future circuit blows VMEM).
-        self.msm_chunk_g2 = min(
-            int(os.environ.get("ZEROCHAIN_MSM_CHUNK_G2",
-                               str(self.msm_chunk_g1))),
-            self.msm_chunk_g1,
-        )
+
+        # Per-MSM chunks: padding a query out to a bigger chunk than its
+        # pow2-ceil size makes the depth scan run DEAD points (b_cols ~
+        # 12.4k padded to 32768 would double the B1 scan), so each query
+        # gets min(req, pow2ceil(n)).  B1 (G1) and B2 (G2) must MATCH to
+        # share their digit sort, so both take the G2 VMEM cap (T=16
+        # measured safe; T=32 G2 scratch ~50 MB is past the budget).
+        def chunk_for(n_pts, cap):
+            p = 1 << max(0, (max(1, n_pts) - 1).bit_length())
+            return max(min(1024, self.msm_chunk_g1),
+                       min(cap, self.msm_chunk_g1, p))
+
+        self.msm_chunk_b = chunk_for(len(self.b_cols), g2_cap)
+        self.msm_chunk_g2 = self.msm_chunk_b
         self.serialize_chunks = bool(
             int(os.environ.get("ZEROCHAIN_SERIALIZE_CHUNKS", "1"))
         )
+        self.msm_chunk_a = chunk_for(len(self.a_cols), req_chunk)
+        self.msm_chunk_l = chunk_for(self.num_aux, req_chunk)
+        self.msm_chunk_h = chunk_for(self.d, req_chunk)
+
         h_raw, l_raw, a_raw, b1_raw, b2_raw = raw
         self.h_pts, self.size_h = self._prep(h_raw, None, self.d,
-                                             self.msm_chunk_g1)
+                                             self.msm_chunk_h)
         self.l_pts, self.size_l = self._prep(l_raw, None, self.num_aux,
-                                             self.msm_chunk_g1)
+                                             self.msm_chunk_l)
         self.a_pts, self.size_a = self._prep(a_raw, self.a_cols, None,
-                                             self.msm_chunk_g1)
+                                             self.msm_chunk_a)
         self.b1_pts, self.size_b1 = self._prep(b1_raw, self.b_cols, None,
-                                               self.msm_chunk_g1)
+                                               self.msm_chunk_b)
         self.b2_pts, self.size_b2 = self._prep(b2_raw, self.b_cols, None,
                                                self.msm_chunk_g2)
 
@@ -169,13 +178,13 @@ class ConfidentialProver:
                 for off in range(0, size, chunk)
             ]
 
-        self.a_chunks = chunks_of(self.a_pts, self.size_a, self.msm_chunk_g1)
+        self.a_chunks = chunks_of(self.a_pts, self.size_a, self.msm_chunk_a)
         self.b1_chunks = chunks_of(self.b1_pts, self.size_b1,
-                                   self.msm_chunk_g1)
+                                   self.msm_chunk_b)
         self.b2_chunks = chunks_of(self.b2_pts, self.size_b2,
                                    self.msm_chunk_g2)
-        self.l_chunks = chunks_of(self.l_pts, self.size_l, self.msm_chunk_g1)
-        self.h_chunks = chunks_of(self.h_pts, self.size_h, self.msm_chunk_g1)
+        self.l_chunks = chunks_of(self.l_pts, self.size_l, self.msm_chunk_l)
+        self.h_chunks = chunks_of(self.h_pts, self.size_h, self.msm_chunk_h)
 
         # MSM implementation: 'suffix' (default; sort + Ladner-Fischer
         # prefix scan, ~2N adds/window, one window combine per MSM —
@@ -488,15 +497,18 @@ class ConfidentialProver:
                     for off in range(0, size, chunk)]
 
         g1, g2 = self.msm_g1, self.msm_g2
-        cg1, cg2 = self.msm_chunk_g1, self.msm_chunk_g2
-        a_d = digs(wit_canon[:, self.a_cols], g1, self.size_a, cg1)
-        b1_d = digs(wit_canon[:, self.b_cols], g1, self.size_b1, cg1)
-        l_d = digs(wit_canon[:, self.num_inputs :], g1, self.size_l, cg1)
-        h_d = digs(h_canon, g1, self.size_h, cg1)
-        share_b = cg2 == cg1 and g2.c == g1.c and g2.signed == g1.signed
+        a_d = digs(wit_canon[:, self.a_cols], g1, self.size_a,
+                   self.msm_chunk_a)
+        b1_d = digs(wit_canon[:, self.b_cols], g1, self.size_b1,
+                    self.msm_chunk_b)
+        l_d = digs(wit_canon[:, self.num_inputs :], g1, self.size_l,
+                   self.msm_chunk_l)
+        h_d = digs(h_canon, g1, self.size_h, self.msm_chunk_h)
+        share_b = (self.msm_chunk_g2 == self.msm_chunk_b
+                   and g2.c == g1.c and g2.signed == g1.signed)
         b2_d = (b1_d if share_b
                 else digs(wit_canon[:, self.b_cols], g2, self.size_b2,
-                          cg2))
+                          self.msm_chunk_g2))
         if self.mesh is not None:
             return (a_d, b1_d, b2_d, l_d, h_d)
         a_p = [g1._prep(d) for d in a_d]
@@ -658,7 +670,7 @@ class ConfidentialProver:
         def msm(field):
             if field is FqOps:
                 m, chunks, chunk = (
-                    self.msm_g1, self.a_chunks, self.msm_chunk_g1
+                    self.msm_g1, self.a_chunks, self.msm_chunk_a
                 )
             else:
                 m, chunks, chunk = (
