@@ -132,7 +132,11 @@ class ConfidentialProver:
         # T=8 across the same points (see STATUS.md round-4 profile).
         # Capped by the domain size so tiny fixture circuits (MiniProver)
         # don't pad their MSMs out to 16k points.
-        req_chunk = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "32768"))
+        # T=32 chunks measured SLOWER on v5e despite the halved fixed
+        # tail (L/H at 32768: 2.06 s vs 2x16384 at 1.98 s — the 26 MB
+        # per-program scratch restricts Mosaic's DMA double-buffering),
+        # so 16384 (T=16) stays the default everywhere.
+        req_chunk = int(os.environ.get("ZEROCHAIN_MSM_CHUNK", "16384"))
         g2_cap = int(os.environ.get("ZEROCHAIN_MSM_CHUNK_G2", "16384"))
         d_pow2 = 1 << max(0, (self.d - 1).bit_length())
         self.msm_chunk_g1 = min(req_chunk, max(1024, d_pow2))
